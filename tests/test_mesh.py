@@ -1,0 +1,84 @@
+import numpy as np
+import pytest
+
+from vf_fem_tpu.mesh import (
+    Mesh,
+    mark_unit_mesh_fixtures,
+    unit_cube_mesh,
+    unit_square_mesh,
+    vocal_fold_mesh,
+    derive_1d_interface,
+)
+
+
+def test_unit_square_topology():
+    mesh = unit_square_mesh(5, 5)
+    assert mesh.num_vertices == 36
+    assert mesh.num_cells == 50
+    # total area = 1
+    X = mesh.coords[mesh.cells]
+    d1 = X[:, 1] - X[:, 0]
+    d2 = X[:, 2] - X[:, 0]
+    areas = 0.5 * np.abs(d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0])
+    assert np.isclose(areas.sum(), 1.0)
+    # boundary facets: 4 sides x 5 edges
+    assert len(mesh.boundary_facets) == 20
+
+
+def test_unit_cube_topology():
+    mesh = unit_cube_mesh(3, 3, 2)
+    assert mesh.num_vertices == 4 * 4 * 3
+    assert mesh.num_cells == 3 * 3 * 2 * 6
+    X = mesh.coords[mesh.cells]
+    d = X[:, 1:] - X[:, :1]
+    vols = np.abs(np.linalg.det(d)) / 6
+    assert np.isclose(vols.sum(), 1.0)
+
+
+@pytest.mark.parametrize("nz", [0, 2])
+def test_fixture_markers(nz):
+    mesh = unit_square_mesh(5, 5) if nz == 0 else unit_cube_mesh(5, 5, nz)
+    mark_unit_mesh_fixtures(mesh)
+    dim = mesh.dim
+    assert "fixed" in mesh.subdomains[dim - 1]
+    assert "pressure" in mesh.subdomains[dim - 1]
+    assert "separation" in mesh.subdomains[dim - 2]
+    fixed = mesh.facets_by_subdomain(["fixed"])
+    assert len(fixed) > 0
+    # fixed facets all on bottom / front / back
+    for f in fixed:
+        vc = mesh.coords[mesh.facets[f]]
+        on_bottom = np.all(vc[:, 1] < 1e-12)
+        ok = on_bottom
+        if dim == 3:
+            ok = ok or np.all(vc[:, 2] < 1e-12) or np.all(vc[:, 2] > 1 - 1e-12)
+        assert ok
+
+
+def test_interface_derivation_2d():
+    mesh = unit_square_mesh(5, 5)
+    mark_unit_mesh_fixtures(mesh)
+    s, solid_dofs, fluid_dofs = derive_1d_interface(mesh, ("pressure",))
+    # pressure surface: left, right, top sides -> 16 vertices in a chain
+    assert s.ndim == 1
+    assert s[0] == 0.0
+    assert np.all(np.diff(s) > 0)
+    assert len(s) == len(solid_dofs) == len(fluid_dofs)
+    np.testing.assert_array_equal(fluid_dofs, np.arange(len(s)))
+
+
+def test_vocal_fold_mesh():
+    mesh = vocal_fold_mesh(16, 8)
+    assert mesh.dim == 2
+    assert "pressure" in mesh.subdomains[1]
+    assert "fixed" in mesh.subdomains[1]
+    assert "cover" in mesh.subdomains[2]
+    s, sdofs, fdofs = derive_1d_interface(mesh, ("pressure",))
+    assert len(s) > 10
+    assert np.all(np.diff(s) > 0)
+    # all cells positively sized
+    X = mesh.coords[mesh.cells]
+    d1 = X[:, 1] - X[:, 0]
+    d2 = X[:, 2] - X[:, 0]
+    areas = 0.5 * np.abs(d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0])
+    assert np.all(areas > 0)

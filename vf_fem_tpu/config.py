@@ -1,0 +1,46 @@
+"""
+Global configuration for the TPU-native vocal-fold FSI framework.
+
+The reference library (femvf) runs everything in float64 through
+FEniCS/PETSc.  On TPU, float64 is software-emulated, so the framework makes
+the working precision configurable:
+
+- ``VF_FEM_TPU_X64=1`` (default): enable ``jax_enable_x64``; all state,
+  residuals and solves run in float64.  This is required for matching the
+  reference's solver tolerances (Newton abs 1e-8 / rel 1e-10, see
+  reference ``src/femvf/solverconst.py:1-6``) and used by the test suite.
+- ``VF_FEM_TPU_X64=0``: float32 working precision for maximum MXU/VPU
+  throughput.  Contact-penalty stiffness should then be kept <= ~1e6.
+"""
+
+import os
+
+import jax
+
+_TRUTHY = ("1", "true", "True", "yes", "on")
+
+
+def _env_flag(name: str, default: bool) -> bool:
+    val = os.environ.get(name)
+    if val is None:
+        return default
+    return val in _TRUTHY
+
+
+ENABLE_X64: bool = _env_flag("VF_FEM_TPU_X64", True)
+
+if ENABLE_X64:
+    jax.config.update("jax_enable_x64", True)
+
+
+def real_dtype():
+    """Return the working real dtype."""
+    import jax.numpy as jnp
+
+    return jnp.float64 if ENABLE_X64 else jnp.float32
+
+
+def index_dtype():
+    import jax.numpy as jnp
+
+    return jnp.int32

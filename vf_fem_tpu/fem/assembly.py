@@ -1,0 +1,212 @@
+"""
+Global assembly: gather -> batched element kernels -> segment-sum scatter.
+
+This replaces dolfin's C++ global assembler and PETSc AIJ insertion
+(reference: ``src/femvf/models/assemblyutils.py:13-133``).  The design is
+TPU-first:
+
+- Residuals: ``vmap`` the element kernel over all cells/facets, then one
+  ``segment_sum`` scatter into the global vector — a fully fused XLA program
+  with static shapes.
+- Jacobians: ``jax.jacfwd`` of the element kernel gives per-element dense
+  blocks (a batched (nv*dim)^2 tensor).  These blocks are either scattered
+  into a dense global matrix (small meshes, solved by LU on the MXU) or kept
+  as an element-by-element (EBE) operator whose matvec is a batched matmul —
+  the TPU-native "sparse matrix".
+- Dirichlet BCs are row masks (zero residual rows, identity Jacobian rows),
+  replacing ``dfn.DirichletBC.apply`` (reference: ``residuals/base.py:54-65``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..mesh.core import Mesh
+from . import elements
+from .forms import CellGeom, FacetGeom
+
+
+class Topology(NamedTuple):
+    """Static index arrays shipped to the device once."""
+
+    dim: int
+    n_vertices: int
+    n_cells: int
+    cells: jnp.ndarray  # (nc, nv)
+    # Marked (traction-subdomain) boundary facets:
+    facet_cells: jnp.ndarray  # (nf,) adjacent cell index
+    facet_floc: jnp.ndarray  # (nf, dim) local facet-vertex indices in the cell
+    facet_fopp: jnp.ndarray  # (nf,) local index of the opposite vertex
+    # Quadrature tables
+    cell_bary: jnp.ndarray
+    cell_qw: jnp.ndarray
+    facet_bary: jnp.ndarray
+    facet_qw: jnp.ndarray
+
+
+def build_topology(
+    mesh: Mesh, traction_subdomains: Sequence[str] = ("pressure",)
+) -> Topology:
+    dim = mesh.dim
+    cells = np.asarray(mesh.cells)
+
+    try:
+        marked = mesh.facets_by_subdomain(traction_subdomains)
+    except KeyError:
+        marked = np.zeros(0, dtype=np.int32)
+
+    fcell = mesh.facet_to_cell[marked]
+    fopp = mesh.facet_opposite_local_vertex[marked]
+    # local indices of each facet vertex within the adjacent cell
+    facet_verts = mesh.facets[marked]  # (nf, dim) global vertex ids
+    cell_verts = cells[fcell]  # (nf, nv)
+    floc = np.argmax(
+        cell_verts[:, None, :] == facet_verts[:, :, None], axis=-1
+    ).astype(np.int32)
+
+    cb, cw = elements.cell_quadrature(dim)
+    fb, fw = elements.facet_quadrature(dim)
+    return Topology(
+        dim=dim,
+        n_vertices=mesh.num_vertices,
+        n_cells=cells.shape[0],
+        cells=jnp.asarray(cells),
+        facet_cells=jnp.asarray(fcell),
+        facet_floc=jnp.asarray(floc),
+        facet_fopp=jnp.asarray(fopp),
+        cell_bary=jnp.asarray(cb),
+        cell_qw=jnp.asarray(cw),
+        facet_bary=jnp.asarray(fb),
+        facet_qw=jnp.asarray(fw),
+    )
+
+
+def make_cell_geom(X_e: jnp.ndarray, topo: Topology) -> CellGeom:
+    grads, vol = elements.cell_shape_gradients(X_e)
+    return CellGeom(X=X_e, grads=grads, vol=vol, bary=topo.cell_bary, qw=topo.cell_qw)
+
+
+def make_facet_geom(
+    X_e: jnp.ndarray, floc: jnp.ndarray, fopp: jnp.ndarray, topo: Topology
+) -> FacetGeom:
+    grads, _ = elements.cell_shape_gradients(X_e)
+    Xf = X_e[floc]
+    X_opp = X_e[fopp]
+    meas, normal = elements.facet_measure_normal(Xf, X_opp)
+    return FacetGeom(
+        X=X_e,
+        grads=grads,
+        meas=meas,
+        normal=normal,
+        fbary=topo.facet_bary,
+        fqw=topo.facet_qw,
+        floc=floc,
+    )
+
+
+def scatter_add(
+    res_cells: jnp.ndarray,
+    vert_ids: jnp.ndarray,
+    n_vertices: int,
+) -> jnp.ndarray:
+    """
+    Sum per-element nodal contributions into a global (n_vertices, dim) array.
+
+    ``res_cells``: (ne, nv, dim); ``vert_ids``: (ne, nv).
+    """
+    dim = res_cells.shape[-1]
+    flat = res_cells.reshape(-1, dim)
+    segs = vert_ids.reshape(-1)
+    return jax.ops.segment_sum(flat, segs, num_segments=n_vertices)
+
+
+def scatter_dense_jacobian(
+    J_e: jnp.ndarray, dofs_e: jnp.ndarray, ndof: int, out: jnp.ndarray = None
+) -> jnp.ndarray:
+    """
+    Scatter per-element Jacobian blocks into a dense (ndof, ndof) matrix.
+
+    ``J_e``: (ne, nld, nld); ``dofs_e``: (ne, nld) global dof indices.
+    """
+    if out is None:
+        out = jnp.zeros((ndof, ndof), dtype=J_e.dtype)
+    rows = dofs_e[:, :, None]
+    cols = dofs_e[:, None, :]
+    return out.at[rows, cols].add(J_e)
+
+
+def cell_dof_array(cells: np.ndarray, dim: int) -> np.ndarray:
+    """(nc, nv*dim) global dof indices, vertex-major interleaved ordering."""
+    nc, nv = cells.shape
+    dofs = (np.asarray(cells)[:, :, None] * dim + np.arange(dim)[None, None, :])
+    return dofs.reshape(nc, nv * dim)
+
+
+class EBEOperator(NamedTuple):
+    """
+    Element-by-element linear operator: the TPU-native sparse matrix.
+
+    ``matvec(x)`` = scatter(sum_e J_e @ gather_e(x)) — a batched small matmul
+    that maps straight onto the MXU, with no irregular sparsity structure.
+    """
+
+    J_cells: jnp.ndarray  # (nc, nld, nld)
+    cell_dofs: jnp.ndarray  # (nc, nld)
+    J_facets: jnp.ndarray  # (nf, nld, nld) or None
+    facet_dofs: jnp.ndarray  # (nf, nld) or None
+    ndof: int
+    bc_dofs: jnp.ndarray  # (n_bc,) constrained dof indices (identity rows)
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = jnp.zeros(self.ndof, dtype=x.dtype)
+        xc = x[self.cell_dofs]  # (nc, nld)
+        yc = jnp.einsum("eij,ej->ei", self.J_cells, xc)
+        y = y.at[self.cell_dofs.reshape(-1)].add(yc.reshape(-1))
+        if self.J_facets is not None and self.J_facets.shape[0] > 0:
+            xf = x[self.facet_dofs]
+            yf = jnp.einsum("eij,ej->ei", self.J_facets, xf)
+            y = y.at[self.facet_dofs.reshape(-1)].add(yf.reshape(-1))
+        # Dirichlet rows -> identity
+        y = y.at[self.bc_dofs].set(x[self.bc_dofs])
+        return y
+
+    def to_dense(self) -> jnp.ndarray:
+        A = scatter_dense_jacobian(self.J_cells, self.cell_dofs, self.ndof)
+        if self.J_facets is not None and self.J_facets.shape[0] > 0:
+            A = scatter_dense_jacobian(self.J_facets, self.facet_dofs, self.ndof, A)
+        A = apply_dirichlet_rows(A, self.bc_dofs)
+        return A
+
+    def diagonal(self) -> jnp.ndarray:
+        d = jnp.zeros(self.ndof, dtype=self.J_cells.dtype)
+        dc = jnp.diagonal(self.J_cells, axis1=1, axis2=2)
+        d = d.at[self.cell_dofs.reshape(-1)].add(dc.reshape(-1))
+        if self.J_facets is not None and self.J_facets.shape[0] > 0:
+            df = jnp.diagonal(self.J_facets, axis1=1, axis2=2)
+            d = d.at[self.facet_dofs.reshape(-1)].add(df.reshape(-1))
+        d = d.at[self.bc_dofs].set(1.0)
+        return d
+
+
+def apply_dirichlet_rows(A: jnp.ndarray, bc_dofs: jnp.ndarray) -> jnp.ndarray:
+    """Zero Dirichlet rows and put 1 on their diagonal (dolfin-style)."""
+    if bc_dofs.shape[0] == 0:
+        return A
+    A = A.at[bc_dofs, :].set(0.0)
+    A = A.at[bc_dofs, bc_dofs].set(1.0)
+    return A
+
+
+def dirichlet_vertex_mask(
+    mesh: Mesh, subdomain_names: Sequence[str] = ("fixed",)
+) -> np.ndarray:
+    """Boolean (n_vertices,) mask of vertices on named facet subdomains."""
+    facets = mesh.facets_by_subdomain(subdomain_names)
+    verts = np.unique(mesh.facets[facets].reshape(-1))
+    mask = np.zeros(mesh.num_vertices, dtype=bool)
+    mask[verts] = True
+    return mask

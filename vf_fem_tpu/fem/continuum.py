@@ -1,0 +1,89 @@
+"""
+Continuum-mechanics operators in JAX.
+
+These mirror the reference's UFL continuum operators one-for-one
+(reference: ``src/femvf/equations/uflcontinuum.py``), operating on
+displacement *gradients* (constant per P1 element) rather than symbolic
+fields.  In 2D all strain/stress tensors are padded to 3x3 exactly as the
+reference does (plane strain), so scalar invariants match.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .elements import det_small, inv_small
+
+I3 = jnp.eye(3)
+
+
+def pad_to_3x3(A: jnp.ndarray) -> jnp.ndarray:
+    """Embed a 2x2 tensor into the upper-left of a 3x3 zero tensor."""
+    if A.shape[-1] == 3:
+        return A
+    return jnp.zeros(A.shape[:-2] + (3, 3), A.dtype).at[..., :2, :2].set(A)
+
+
+def strain_inf(grad_u: jnp.ndarray) -> jnp.ndarray:
+    """Infinitesimal strain, padded to 3x3 in 2D
+    (reference: ``uflcontinuum.py:73-88``)."""
+    e = 0.5 * (grad_u + jnp.swapaxes(grad_u, -1, -2))
+    return pad_to_3x3(e)
+
+
+def def_grad(grad_u: jnp.ndarray) -> jnp.ndarray:
+    """Deformation gradient F = I + grad(u), 3x3
+    (reference: ``uflcontinuum.py:29-44``)."""
+    return pad_to_3x3(grad_u) + I3
+
+
+def def_cauchy_green(grad_u: jnp.ndarray) -> jnp.ndarray:
+    F = def_grad(grad_u)
+    return jnp.swapaxes(F, -1, -2) @ F
+
+
+def strain_green_lagrange(grad_u: jnp.ndarray) -> jnp.ndarray:
+    """Green-Lagrange strain E = (C - I)/2
+    (reference: ``uflcontinuum.py:60-70``)."""
+    return 0.5 * (def_cauchy_green(grad_u) - I3)
+
+
+def stress_isotropic(strain: jnp.ndarray, emod, nu) -> jnp.ndarray:
+    """Linear isotropic stress from (E, nu)
+    (reference: ``uflcontinuum.py:9-26``)."""
+    lame_lambda = emod * nu / (1 + nu) / (1 - 2 * nu)
+    lame_mu = emod / 2 / (1 + nu)
+    tr = jnp.trace(strain, axis1=-2, axis2=-1)
+    return 2 * lame_mu * strain + (lame_lambda * tr)[..., None, None] * jnp.eye(
+        strain.shape[-1], dtype=strain.dtype
+    )
+
+
+def pullback_area_normal(grad_u: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+    """
+    Nanson pullback cof(F) @ n, in the mesh's geometric dimension
+    (reference: ``uflcontinuum.py:172-187``).
+
+    ``grad_u``: (dim, dim) displacement gradient; ``n``: (dim,) reference
+    facet normal.  Returns the deformed area-weighted normal (dim,).
+    """
+    dim = n.shape[-1]
+    F = grad_u + jnp.eye(dim, dtype=grad_u.dtype)
+    cof = det_small(F)[..., None, None] * jnp.swapaxes(inv_small(F), -1, -2)
+    return cof @ n
+
+
+def positive_gap(gap: jnp.ndarray) -> jnp.ndarray:
+    """Macaulay bracket <gap> (reference: ``form.py:1173-1185``)."""
+    return jnp.maximum(gap, 0.0)
+
+
+def pressure_contact_cubic_penalty(gap, kcoll):
+    """Cubic penalty contact pressure (reference: ``form.py:1188-1194``)."""
+    return kcoll * positive_gap(gap) ** 3
+
+
+def dform_cubic_penalty_pressure(gap, kcoll):
+    """Contact pressure derivative (reference: ``form.py:1196-1202``)."""
+    pg = positive_gap(gap)
+    return kcoll * 3 * pg**2 * jnp.sign(gap), pg**3

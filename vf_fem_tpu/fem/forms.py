@@ -1,0 +1,428 @@
+"""
+The solid "form zoo" as JAX element kernels.
+
+Each class mirrors one ``PredefinedForm`` of the reference
+(reference: ``src/femvf/equations/form.py:516-1062``), but instead of
+building a symbolic UFL graph it provides an *element kernel*: a pure
+function of the element's nodal values and vertex coordinates returning that
+element's contribution to the residual.  Jacobians are obtained with
+``jax.jacfwd`` at the element level — this replaces ``dfn.derivative`` and
+the FFC-generated C++ tabulation kernels wholesale.
+
+Coefficient layout (global arrays):
+- ``cg1_vector``: (n_vertices, dim) nodal field (states, tcontact, umesh)
+- ``cg1_scalar``: (n_vertices,) nodal field (pressure p1)
+- ``dg0_scalar``: (n_cells,) per-cell field (emod, rho, eta, ...)
+- ``const_scalar`` / ``const_vector``: shape (1,) / (dim,) globals
+
+Element kernels receive per-element *local* values: nodal (nv, ...) arrays
+for CG1, scalars for DG0/const.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .continuum import (
+    def_grad,
+    pad_to_3x3,
+    pullback_area_normal,
+    strain_green_lagrange,
+    strain_inf,
+    stress_isotropic,
+)
+
+I3 = jnp.eye(3)
+
+
+# -- Coefficient specs --------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class CoeffSpec:
+    space: str  # cg1_vector | cg1_scalar | dg0_scalar | const_scalar | const_vector
+    default: float = 0.0
+
+
+def cg1_vector(default=0.0):
+    return CoeffSpec("cg1_vector", default)
+
+
+def cg1_scalar(default=0.0):
+    return CoeffSpec("cg1_scalar", default)
+
+
+def dg0_scalar(default=0.0):
+    return CoeffSpec("dg0_scalar", default)
+
+
+def const_scalar(default=0.0):
+    return CoeffSpec("const_scalar", default)
+
+
+def const_vector(default=0.0):
+    return CoeffSpec("const_vector", default)
+
+
+# -- Element geometry contexts ------------------------------------------------
+
+
+class CellGeom(NamedTuple):
+    X: jnp.ndarray  # (nv, dim) vertex coords
+    grads: jnp.ndarray  # (nv, dim) shape-function gradients
+    vol: jnp.ndarray  # () cell measure
+    bary: jnp.ndarray  # (nq, nv) quadrature barycentric coords
+    qw: jnp.ndarray  # (nq,) quadrature weights (sum 1)
+
+
+class FacetGeom(NamedTuple):
+    X: jnp.ndarray  # (nv, dim) adjacent-cell vertex coords
+    grads: jnp.ndarray  # (nv, dim) adjacent-cell shape gradients
+    meas: jnp.ndarray  # () facet measure (length/area)
+    normal: jnp.ndarray  # (dim,) outward unit facet normal (reference config)
+    fbary: jnp.ndarray  # (nq, dim) facet quadrature barycentric coords
+    fqw: jnp.ndarray  # (nq,) facet quadrature weights
+    floc: jnp.ndarray  # (dim,) local indices of facet vertices in the cell
+
+
+def grad_field(field_e: jnp.ndarray, grads: jnp.ndarray) -> jnp.ndarray:
+    """Constant gradient of a P1 field: (nv, c) x (nv, d) -> (c, d)."""
+    return field_e.T @ grads
+
+
+def _stress_residual(sigma3: jnp.ndarray, geom: CellGeom) -> jnp.ndarray:
+    """vol * sigma : strain(test) for all (node, component) tests."""
+    dim = geom.X.shape[-1]
+    return geom.vol * geom.grads @ sigma3[:dim, :dim].T
+
+
+def _force_residual(f_q: jnp.ndarray, geom: CellGeom) -> jnp.ndarray:
+    """vol * sum_q w_q f(x_q) . test — f_q: (nq, dim)."""
+    return geom.vol * geom.bary.T @ (geom.qw[:, None] * f_q)
+
+
+def _facet_force_residual(t_q, geom: FacetGeom, nv: int) -> jnp.ndarray:
+    """Scatter a facet traction integral to cell-local node contributions."""
+    dim = geom.X.shape[-1]
+    res_f = geom.meas * geom.fbary.T @ (geom.fqw[:, None] * t_q)  # (dimf, dim)
+    out = jnp.zeros((nv, dim), dtype=res_f.dtype)
+    return out.at[geom.floc].add(res_f)
+
+
+def _pk2_residual(S: jnp.ndarray, F: jnp.ndarray, geom: CellGeom) -> jnp.ndarray:
+    """vol * S : dE(test) with E the Green-Lagrange strain (PK2 weak form)."""
+    dim = geom.X.shape[-1]
+    FS = F @ S
+    return geom.vol * geom.grads @ FS[:dim, :dim].T
+
+
+# -- Cell form classes --------------------------------------------------------
+
+
+class BaseForm:
+    COEFFICIENT_SPEC: dict = {}
+    domain = "cell"  # or 'facet'
+    expressions: tuple = ()
+
+    def cell_kernel(self, geom: CellGeom, local: dict) -> jnp.ndarray:
+        raise NotImplementedError
+
+    def facet_kernel(self, geom: FacetGeom, local: dict) -> jnp.ndarray:
+        raise NotImplementedError
+
+
+class InertialForm(BaseForm):
+    """rho * a . test (reference: ``form.py:516-534``)."""
+
+    COEFFICIENT_SPEC = {
+        "state/a1": cg1_vector(),
+        "prop/rho": dg0_scalar(1.0),
+    }
+
+    def cell_kernel(self, geom, local):
+        a_q = geom.bary @ local["state/a1"]
+        return _force_residual(local["prop/rho"] * a_q, geom)
+
+
+class IsotropicElasticForm(BaseForm):
+    """Linear isotropic elasticity (reference: ``form.py:540-572``)."""
+
+    COEFFICIENT_SPEC = {
+        "state/u1": cg1_vector(),
+        "state/v1": cg1_vector(),
+        "prop/emod": dg0_scalar(1.0),
+        "prop/nu": const_scalar(0.45),
+    }
+    expressions = ("stress_elastic", "strain_energy", "strain_energy_rate")
+
+    def stress(self, geom, local):
+        eps = strain_inf(grad_field(local["state/u1"], geom.grads))
+        return stress_isotropic(eps, local["prop/emod"], local["prop/nu"])
+
+    def cell_kernel(self, geom, local):
+        return _stress_residual(self.stress(geom, local), geom)
+
+
+class IsotropicIncompressibleElasticSwellingForm(BaseForm):
+    """Incompressible swelling elasticity (reference: ``form.py:575-609``)."""
+
+    COEFFICIENT_SPEC = {
+        "state/u1": cg1_vector(),
+        "prop/emod": dg0_scalar(1.0),
+        "prop/v_swelling": dg0_scalar(1.0),
+        "prop/k_swelling": dg0_scalar(1.0),
+    }
+
+    def stress(self, geom, local):
+        eps = strain_inf(grad_field(local["state/u1"], geom.grads))
+        nu = 0.5
+        lame_mu = local["prop/emod"] / 2 / (1 + nu)
+        v, k = local["prop/v_swelling"], local["prop/k_swelling"]
+        return 2 * lame_mu * eps + k * (jnp.trace(eps) - (v - 1.0)) * I3
+
+    def cell_kernel(self, geom, local):
+        return _stress_residual(self.stress(geom, local), geom)
+
+
+class IsotropicElasticSwellingForm(BaseForm):
+    """Gou2016 swelling hyperelasticity (reference: ``form.py:613-664``)."""
+
+    COEFFICIENT_SPEC = {
+        "state/u1": cg1_vector(),
+        "prop/emod": dg0_scalar(1.0),
+        "prop/nu": const_scalar(0.45),
+        "prop/v_swelling": dg0_scalar(1.0),
+        "prop/m_swelling": dg0_scalar(0.0),
+    }
+
+    def pk2(self, geom, local):
+        grad_u = grad_field(local["state/u1"], geom.grads)
+        E = strain_green_lagrange(grad_u)
+        v, m = local["prop/v_swelling"], local["prop/m_swelling"]
+        E_v = v ** (-2 / 3) * E + 0.5 * (v ** (-2 / 3) - 1.0) * I3
+        mhat = m * (v - 1.0) + 1.0
+        S = mhat * v ** (1 / 3) * stress_isotropic(E_v, local["prop/emod"], 0.45)
+        return S, def_grad(grad_u)
+
+    def cell_kernel(self, geom, local):
+        S, F = self.pk2(geom, local)
+        return _pk2_residual(S, F, geom)
+
+
+class IsotropicElasticSwellingPowerLawForm(BaseForm):
+    """Power-law swelling hyperelasticity (reference: ``form.py:667-727``)."""
+
+    COEFFICIENT_SPEC = {
+        "state/u1": cg1_vector(),
+        "state/v1": cg1_vector(),
+        "prop/emod": dg0_scalar(1.0),
+        "prop/nu": const_scalar(0.45),
+        "prop/v_swelling": dg0_scalar(1.0),
+        "prop/m_swelling": dg0_scalar(0.0),
+    }
+
+    def pk2(self, geom, local):
+        grad_u = grad_field(local["state/u1"], geom.grads)
+        E = strain_green_lagrange(grad_u)
+        v, m = local["prop/v_swelling"], local["prop/m_swelling"]
+        E_v = v ** (-2 / 3) * E + 0.5 * (v ** (-2 / 3) - 1.0) * I3
+        mbar_v = v**m
+        S = mbar_v * v ** (1 / 3) * stress_isotropic(E_v, local["prop/emod"], 0.45)
+        return S, def_grad(grad_u)
+
+    def cell_kernel(self, geom, local):
+        S, F = self.pk2(geom, local)
+        return _pk2_residual(S, F, geom)
+
+
+class RayleighDampingForm(BaseForm):
+    """Rayleigh damping (reference: ``form.py:918-956``)."""
+
+    COEFFICIENT_SPEC = {
+        "state/v1": cg1_vector(),
+        "prop/rho": dg0_scalar(1.0),
+        "prop/emod": dg0_scalar(1.0),
+        "prop/nu": const_scalar(0.45),
+        "prop/rayleigh_m": const_scalar(1.0),
+        "prop/rayleigh_k": const_scalar(1.0),
+    }
+
+    def cell_kernel(self, geom, local):
+        v_e = local["state/v1"]
+        eps_rate = strain_inf(grad_field(v_e, geom.grads))
+        stress_visco = local["prop/rayleigh_k"] * stress_isotropic(
+            eps_rate, local["prop/emod"], local["prop/nu"]
+        )
+        res = _stress_residual(stress_visco, geom)
+        v_q = geom.bary @ v_e
+        f = local["prop/rayleigh_m"] * local["prop/rho"] * v_q
+        return res + _force_residual(f, geom)
+
+
+class KelvinVoigtForm(BaseForm):
+    """Kelvin-Voigt viscosity (reference: ``form.py:965-990``)."""
+
+    COEFFICIENT_SPEC = {
+        "state/v1": cg1_vector(),
+        "prop/eta": dg0_scalar(1.0),
+    }
+    expressions = ("kv_stress", "kv_strain_rate")
+
+    def stress(self, geom, local):
+        return local["prop/eta"] * strain_inf(
+            grad_field(local["state/v1"], geom.grads)
+        )
+
+    def cell_kernel(self, geom, local):
+        return _stress_residual(self.stress(geom, local), geom)
+
+
+class APForceForm(BaseForm):
+    """Anterior-posterior force approximating 3D effects
+    (reference: ``form.py:993-1033``).  The form's own value is
+    ``-(stiffness + viscous)``."""
+
+    COEFFICIENT_SPEC = {
+        "state/u1": cg1_vector(),
+        "state/v1": cg1_vector(),
+        "prop/eta": dg0_scalar(1.0),
+        "prop/emod": dg0_scalar(1.0),
+        "prop/nu": const_scalar(0.45),
+        "prop/u_ant": dg0_scalar(0.0),
+        "prop/u_pos": dg0_scalar(0.0),
+        "prop/length": dg0_scalar(1.0),
+        "prop/muscle_stress": dg0_scalar(0.0),
+    }
+
+    def cell_kernel(self, geom, local):
+        u_q = geom.bary @ local["state/u1"]
+        v_q = geom.bary @ local["state/v1"]
+        emod, nu = local["prop/emod"], local["prop/nu"]
+        lame_mu = emod / 2 / (1 + nu)
+        u_ant, u_pos = local["prop/u_ant"], local["prop/u_pos"]
+        length = local["prop/length"]
+        d2u = (u_ant - 2 * u_q + u_pos) / length**2
+        d2v = (u_ant - 2 * v_q + u_pos) / length**2
+        f_el = (lame_mu + local["prop/muscle_stress"]) * d2u
+        f_vis = 0.5 * local["prop/eta"] * d2v
+        return -_force_residual(f_el + f_vis, geom)
+
+
+class ShapeForm(BaseForm):
+    """Registers the mesh-shape parameter ``prop/umesh``
+    (reference: ``form.py:1037-1062``).  The shape enters every other kernel
+    through the traced vertex coordinates, so the kernel itself is zero."""
+
+    COEFFICIENT_SPEC = {"prop/umesh": cg1_vector()}
+
+    def cell_kernel(self, geom, local):
+        nv, dim = geom.X.shape
+        return jnp.zeros((nv, dim))
+
+
+# -- Facet form classes -------------------------------------------------------
+
+
+class SurfacePressureForm(BaseForm):
+    """Follower pressure load via Nanson pullback
+    (reference: ``form.py:733-756``)."""
+
+    domain = "facet"
+    COEFFICIENT_SPEC = {
+        "state/u1": cg1_vector(),
+        "control/p1": cg1_scalar(),
+    }
+    expressions = ("fluid_traction",)
+
+    def facet_kernel(self, geom: FacetGeom, local):
+        u_e = local["state/u1"]
+        nv = u_e.shape[0]
+        grad_u = grad_field(u_e, geom.grads)
+        pn = pullback_area_normal(grad_u, geom.normal)  # (dim,)
+        p_f = local["control/p1"][geom.floc]  # (dimf,)
+        p_q = geom.fbary @ p_f  # (nq,)
+        t_q = -p_q[:, None] * pn[None, :]
+        return _facet_force_residual(t_q, geom, nv)
+
+
+class ManualSurfaceContactTractionForm(BaseForm):
+    """Surface integral of a nodal contact traction
+    (reference: ``form.py:759-794``).  The traction field itself is computed
+    from the displacement by the model layer (cubic penalty,
+    ``src/femvf/models/transient.py:538-552``), so differentiating the
+    residual through it yields the contact stiffness automatically —
+    replacing the reference's manual ``diagonalScale`` Jacobian fix-up."""
+
+    domain = "facet"
+    COEFFICIENT_SPEC = {
+        "state/u1": cg1_vector(),
+        "control/tcontact": cg1_vector(),
+        "prop/ycontact": const_scalar(np.inf),
+        "prop/ncontact": const_vector(),
+        "prop/kcontact": const_scalar(1.0),
+    }
+
+    def facet_kernel(self, geom: FacetGeom, local):
+        tc_e = local["control/tcontact"]
+        nv = tc_e.shape[0]
+        t_q = geom.fbary @ tc_e[geom.floc]
+        return _facet_force_residual(t_q, geom, nv)
+
+
+class IsotropicMembraneForm(BaseForm):
+    """Isotropic elastic membrane (epithelium)
+    (reference: ``form.py:800-855``)."""
+
+    domain = "facet"
+    COEFFICIENT_SPEC = {
+        "state/u1": cg1_vector(),
+        "prop/emod_membrane": dg0_scalar(0.0),
+        "prop/nu_membrane": dg0_scalar(0.45),
+        "prop/th_membrane": dg0_scalar(0.0),
+    }
+
+    def _planar_stress(self, geom, local, nu):
+        dim = geom.X.shape[-1]
+        eps = strain_inf(grad_field(local["state/u1"], geom.grads))
+        n3 = jnp.zeros(3).at[:dim].set(geom.normal)
+        P = I3 - jnp.outer(n3, n3)
+        eps_pp = P @ eps @ P
+        emod = local["prop/emod_membrane"]
+        mu = emod / 2 / (1 + nu)
+        lmbda = emod * nu / (1 + nu) / (1 - 2 * nu)
+        lmbda_pp = jnp.where(emod == 0, 0.0, 2 * mu * lmbda / (lmbda + 2 * mu))
+        return 2 * mu * eps_pp + lmbda_pp * jnp.trace(eps_pp) * P
+
+    def facet_kernel(self, geom: FacetGeom, local):
+        dim = geom.X.shape[-1]
+        stress_pp = self._planar_stress(geom, local, local["prop/nu_membrane"])
+        th = local["prop/th_membrane"]
+        # integrand is constant over the facet; tests are all cell nodes
+        return geom.meas * th * geom.grads @ stress_pp[:dim, :dim].T
+
+
+class IsotropicIncompressibleMembraneForm(BaseForm):
+    """Incompressible membrane (reference: ``form.py:862-912``)."""
+
+    domain = "facet"
+    COEFFICIENT_SPEC = {
+        "state/u1": cg1_vector(),
+        "prop/emod_membrane": dg0_scalar(0.0),
+        "prop/th_membrane": dg0_scalar(0.0),
+    }
+
+    def facet_kernel(self, geom: FacetGeom, local):
+        dim = geom.X.shape[-1]
+        eps = strain_inf(grad_field(local["state/u1"], geom.grads))
+        n3 = jnp.zeros(3).at[:dim].set(geom.normal)
+        P = I3 - jnp.outer(n3, n3)
+        eps_pp = P @ eps @ P
+        nu = 0.5
+        lame_mu = local["prop/emod_membrane"] / 2 / (1 + nu)
+        stress_pp = 2 * lame_mu * eps_pp + 2 * lame_mu * jnp.trace(eps_pp) * P
+        th = local["prop/th_membrane"]
+        return geom.meas * th * geom.grads @ stress_pp[:dim, :dim].T

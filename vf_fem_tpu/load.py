@@ -1,0 +1,116 @@
+"""
+Model factory: build solid/fluid/FSI models from meshes
+(reference: ``src/femvf/load.py``).
+"""
+
+from __future__ import annotations
+
+from os import path
+from typing import Any, Optional, Sequence, Union
+
+import numpy as np
+
+from .mesh import Mesh, derive_1d_interface, load_gmsh
+from .residuals import fluid as flr
+from .residuals import solid as slr
+from .models import dynamical, transient
+
+
+def load_solid_model(
+    mesh: Union[str, Mesh],
+    Residual: type,
+    model_type: str = "transient",
+    **kwargs: Any,
+):
+    """Load a solid model (reference: ``load.py:23-64``; the reference name
+    ``load_fenics_model`` is kept as an alias)."""
+    if isinstance(mesh, str):
+        ext = path.splitext(mesh)[1]
+        if ext.lower() == ".msh":
+            mesh = load_gmsh(mesh)
+        else:
+            raise ValueError(f"Invalid mesh extension {ext}")
+    elif not isinstance(mesh, Mesh):
+        raise TypeError(f"Invalid `mesh` type {type(mesh)}")
+
+    residual = Residual(mesh, **kwargs)
+    if model_type == "transient":
+        return transient.SolidModel(residual)
+    elif model_type == "dynamical":
+        return dynamical.SolidDynamicalModel(residual)
+    elif model_type == "linearized_dynamical":
+        return dynamical.LinearizedSolidDynamicalModel(residual)
+    else:
+        raise ValueError(f"Invalid model type {model_type}")
+
+
+load_fenics_model = load_solid_model
+
+
+def load_fluid_model(
+    mesh: np.ndarray,
+    Residual: type,
+    model_type: str = "transient",
+    **kwargs,
+):
+    """Load a 1D fluid model (reference ``load_jax_model``, ``load.py:67-96``)."""
+    residual = Residual(mesh, **kwargs)
+    if model_type == "transient":
+        return transient.FluidModel(residual)
+    elif model_type == "dynamical":
+        return dynamical.FluidDynamicalModel(residual)
+    elif model_type == "linearized_dynamical":
+        return dynamical.LinearizedFluidDynamicalModel(residual)
+    else:
+        raise ValueError(f"Invalid model type {model_type}")
+
+
+load_jax_model = load_fluid_model
+
+
+def load_fsi_model(
+    solid_mesh: Union[str, Mesh],
+    SolidResidual: type = slr.KelvinVoigt,
+    FluidResidual: type = flr.BernoulliSmoothMinSep,
+    solid_kwargs: Optional[dict] = None,
+    fluid_kwargs: Optional[dict] = None,
+    model_type: str = "transient",
+    coupling: str = "explicit",
+    fluid_interface_subdomains: Sequence[str] = ("pressure",),
+    zs: Optional[np.ndarray] = None,
+):
+    """
+    Load a coupled FSI model (reference: ``load.py:100-162``): build the
+    solid, derive the 1D fluid interface mesh from the 'pressure' facet
+    subdomain, build the fluid, and couple them.
+    """
+    solid_kwargs = solid_kwargs or {}
+    fluid_kwargs = fluid_kwargs or {}
+
+    solid = load_solid_model(
+        solid_mesh, SolidResidual, model_type=model_type, **solid_kwargs
+    )
+
+    mesh = solid.residual.mesh()
+    s, dofs_fsi_solid, dofs_fsi_fluid = derive_1d_interface(
+        mesh, fluid_interface_subdomains, zs
+    )
+
+    fluid = load_fluid_model(
+        s, FluidResidual, model_type=model_type, **fluid_kwargs
+    )
+
+    if model_type == "transient" and coupling == "explicit":
+        FSIModel = transient.ExplicitFSIModel
+    elif model_type == "transient" and coupling == "implicit":
+        FSIModel = transient.ImplicitFSIModel
+    elif model_type == "dynamical":
+        FSIModel = dynamical.FSIDynamicalModel
+    elif model_type == "linearized_dynamical":
+        FSIModel = dynamical.LinearizedFSIDynamicalModel
+    else:
+        raise ValueError(
+            f"Invalid `model_type` and `coupling` ({model_type}, {coupling})"
+        )
+
+    return FSIModel(solid, fluid, dofs_fsi_solid, dofs_fsi_fluid)

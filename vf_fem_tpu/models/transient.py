@@ -1,0 +1,766 @@
+"""
+Transient (time-step) models: solid, fluid, and coupled FSI.
+
+Mirrors the reference's model layer (reference:
+``src/femvf/models/transient.py``) with a TPU-first split:
+
+- A **pure functional core**: each model builds jittable step functions
+  ``F(state1, state0, control, prop, dt)`` and solvers
+  ``solve_state1(state0, control, prop, dt) -> (state1, info)`` operating on
+  dict-of-array pytrees.  The whole time loop can then run under
+  ``lax.scan`` (see ``vf_fem_tpu.forward``), collapsing the reference's
+  per-step Python <-> C++ <-> PETSc round-trips into one XLA program.
+- Thin **OO wrappers** with the reference API (``set_ini_state``,
+  ``solve_state1``, ``prop['emod'][:] = ...``) so reference driver scripts
+  run unchanged.
+
+Key translations from the reference:
+- Newmark substitution of v1, a1 into the 'u' form
+  (``form.modify_newmark_time_discretization``, reference
+  ``form.py:1067-1113``) becomes plain function composition.
+- The nodal contact traction, set manually as a control in the reference
+  (``NodalContactModel``, reference ``transient.py:516-583``), is computed
+  *inside* the residual, so ``jax.jacfwd`` provides the contact stiffness
+  that the reference patches in via ``diagonalScale``.
+- The Newmark-structured one-matrix solve (reference
+  ``transient.py:470-491``) appears naturally: Newton runs on the 'u' block
+  only and v1, a1 follow explicitly.
+- ``solve_state1`` carries a ``jax.custom_vjp`` implementing the
+  implicit-function-theorem adjoint (transposed Jacobian solve, mirroring
+  ``solve_dres_dstate1_adj``, reference ``transient.py:493-513``), so
+  ``jax.grad`` works through whole trajectories.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import blocks as bv
+from ..equations import newmark
+from ..fem import assembly
+from ..residuals.base import FemResidual, JaxResidual
+from ..solverconst import DEFAULT_NEWTON_SOLVER_PRM, FIXEDPOINT_SOLVER_PRM
+from ..solvers import linalg
+from ..solvers.newton import newton_solve
+from .fsi import FSIMap
+
+
+def _params_key(params: Optional[dict]) -> tuple:
+    params = {**DEFAULT_NEWTON_SOLVER_PRM, **(params or {})}
+    return tuple(sorted(params.items()))
+
+
+class BaseTransientModel:
+    """One-time-step system F(u1, u0, g, p, dt)
+    (reference: ``transient.py:32-161``)."""
+
+    @property
+    def dt(self):
+        raise NotImplementedError
+
+    def set_ini_state(self, state):
+        raise NotImplementedError
+
+    def set_fin_state(self, state):
+        raise NotImplementedError
+
+    def set_control(self, control):
+        raise NotImplementedError
+
+    def set_prop(self, prop):
+        raise NotImplementedError
+
+    def assem_res(self):
+        raise NotImplementedError
+
+    def solve_state1(self, state1, options=None):
+        raise NotImplementedError
+
+
+# =============================================================================
+# Solid
+# =============================================================================
+
+
+def properties_vec_from_residual(residual: FemResidual) -> bv.BlockVector:
+    """Build the property block vector from 'prop/*' coefficient specs
+    (reference: ``properties_bvec_from_forms``, ``transient.py:187-218``)."""
+    defaults = residual.default_coefficients()
+    labels, vecs = [], []
+    for key in residual.coefficient_spec:
+        group, name = key.split("/", 1)
+        if group == "prop":
+            labels.append(name)
+            vecs.append(np.asarray(defaults[key]).reshape(-1).copy())
+    return bv.BlockVector(vecs, labels=[tuple(labels)])
+
+
+class SolidModel(BaseTransientModel):
+    """
+    Transient solid with Newmark time discretization and nodal penalty
+    contact (reference ``FenicsModel``+``NodalContactModel``,
+    ``transient.py:221-583``).
+    """
+
+    def __init__(self, residual: FemResidual):
+        self._residual = residual
+        mesh = residual.mesh()
+        self.nvert = mesh.num_vertices
+        self.dim = mesh.dim
+        self.ndof = self.nvert * self.dim
+
+        spec = residual.coefficient_spec
+        self._has_contact = "control/tcontact" in spec
+        self._has_shape = "prop/umesh" in spec
+        self._has_p1 = "control/p1" in spec
+
+        # OO state (host, mutable)
+        zeros = lambda n: np.zeros(n)
+        self.state0 = bv.BlockVector(
+            [zeros(self.ndof)] * 3, labels=[("u", "v", "a")]
+        )
+        self.state1 = self.state0.copy()
+        self.control = bv.BlockVector([zeros(self.nvert)], labels=[("p",)])
+        self.prop = properties_vec_from_residual(residual)
+        self._dt = 1.0
+
+        # Static assembly data
+        topo = residual.topology
+        self._cell_dofs = jnp.asarray(
+            assembly.cell_dof_array(np.asarray(topo.cells), self.dim)
+        )
+        fcells = np.asarray(topo.facet_cells)
+        self._facet_cell_dofs = jnp.asarray(
+            assembly.cell_dof_array(np.asarray(topo.cells)[fcells], self.dim)
+        )
+        self._Xref = jnp.asarray(residual.ref_mesh_coords)
+
+        self._build_pure_fns()
+
+    # -- Reference-compatible properties ------------------------------------
+    @property
+    def residual(self) -> FemResidual:
+        return self._residual
+
+    @property
+    def solid(self):
+        return self
+
+    @property
+    def XREF(self) -> np.ndarray:
+        """Flat reference coordinates in dof order
+        (reference: ``transient.py:277-287``)."""
+        return np.asarray(self._Xref).reshape(-1)
+
+    @property
+    def dt(self):
+        return self._dt
+
+    @dt.setter
+    def dt(self, value):
+        self._dt = float(value)
+
+    def set_ini_state(self, state):
+        self.state0[:] = state
+
+    def set_fin_state(self, state):
+        self.state1[:] = state
+
+    def set_control(self, control):
+        self.control[:] = control
+
+    def set_prop(self, prop):
+        self.prop[:] = prop
+
+    # -- Pure functional core -------------------------------------------------
+    def _prop_fields(self, prop: dict) -> dict:
+        """Map {name: flat array} -> {'prop/name': shaped array}."""
+        spec = self._residual.coefficient_spec
+        out = {}
+        for key, sp in spec.items():
+            group, name = key.split("/", 1)
+            if group != "prop":
+                continue
+            arr = jnp.asarray(prop[name])
+            if sp.space == "cg1_vector":
+                arr = arr.reshape(self.nvert, self.dim)
+            out[key] = arr
+        return out
+
+    def _build_pure_fns(self):
+        R = self._residual
+        topo = R.topology
+        spec = R.coefficient_spec
+        nvert, dim, ndof = self.nvert, self.dim, self.ndof
+        Xref = self._Xref
+        bc_dofs = R.bc_dofs
+        has_contact = self._has_contact
+        has_p1 = self._has_p1
+        cell_elem = R.cell_elem_fn()
+        facet_elem = R.facet_elem_fn()
+        cells = topo.cells
+        fcells = topo.facet_cells
+        cell_dofs, facet_cell_dofs = self._cell_dofs, self._facet_cell_dofs
+        n_facets = R.n_facets()
+        has_facets = len(R._facet_forms) > 0 and n_facets > 0
+
+        def coords(prop_fields):
+            X = Xref
+            if "prop/umesh" in prop_fields:
+                X = X + prop_fields["prop/umesh"]
+            return X
+
+        def contact_traction(u1_2d, X, prop_fields):
+            n = prop_fields["prop/ncontact"]
+            y = prop_fields["prop/ycontact"][0]
+            k = prop_fields["prop/kcontact"][0]
+            gap = (X + u1_2d) @ n - y
+            return -(k * jnp.maximum(gap, 0.0) ** 3)[:, None] * n
+
+        def full_fields(u1_2d, v1_2d, a1_2d, control, prop_fields):
+            fields = dict(prop_fields)
+            fields["state/u1"] = u1_2d
+            fields["state/v1"] = v1_2d
+            fields["state/a1"] = a1_2d
+            if has_p1:
+                fields["control/p1"] = jnp.asarray(control["p1"])
+            if has_contact:
+                X = coords(prop_fields)
+                fields["control/tcontact"] = contact_traction(
+                    u1_2d, X, prop_fields
+                )
+            return fields
+
+        self._contact_traction = contact_traction
+        self._coords = coords
+        self._full_fields = full_fields
+
+        # ---- Newton residual on the 'u' block (v1, a1 substituted) ----
+        def res_u(u1_flat, state0, control, prop, dt):
+            u1 = u1_flat.reshape(nvert, dim)
+            u0 = state0["u"].reshape(nvert, dim)
+            v0 = state0["v"].reshape(nvert, dim)
+            a0 = state0["a"].reshape(nvert, dim)
+            v1 = newmark.newmark_v(u1, u0, v0, a0, dt)
+            a1 = newmark.newmark_a(u1, u0, v0, a0, dt)
+            prop_fields = self._prop_fields(prop)
+            fields = full_fields(u1, v1, a1, control, prop_fields)
+            res = R.assemble_res(fields).reshape(-1)
+            res = res.at[bc_dofs].set(u1_flat[bc_dofs] - 0.0)
+            return res
+
+        self.res_u = res_u
+
+        # ---- Element-level Newton Jacobian (dense assembly) ----
+        def _elem_state0(state0):
+            u0 = state0["u"].reshape(nvert, dim)
+            v0 = state0["v"].reshape(nvert, dim)
+            a0 = state0["a"].reshape(nvert, dim)
+            return u0, v0, a0
+
+        def jac_u_dense(u1_flat, state0, control, prop, dt):
+            u1 = u1_flat.reshape(nvert, dim)
+            u0, v0, a0 = _elem_state0(state0)
+            prop_fields = self._prop_fields(prop)
+            X = coords(prop_fields)
+            fields = full_fields(u1, jnp.zeros_like(u1), jnp.zeros_like(u1),
+                                 control, prop_fields)
+
+            # Cell pass
+            local_c, axes_c = R.gather_cell_locals(fields)
+            Xe_c = X[cells]
+            s0_c = (u0[cells], v0[cells], a0[cells])
+
+            def cell_fn(u1_e, Xe, s0_e, local):
+                u0_e, v0_e, a0_e = s0_e
+                v1_e = newmark.newmark_v(u1_e, u0_e, v0_e, a0_e, dt)
+                a1_e = newmark.newmark_a(u1_e, u0_e, v0_e, a0_e, dt)
+                loc = dict(local)
+                loc["state/u1"] = u1_e
+                loc["state/v1"] = v1_e
+                loc["state/a1"] = a1_e
+                return cell_elem(Xe, loc)
+
+            nv = cells.shape[1]
+            nld = nv * dim
+            Jc = jax.vmap(jax.jacfwd(cell_fn), in_axes=(0, 0, 0, axes_c))(
+                u1[cells], Xe_c, s0_c, local_c
+            ).reshape(-1, nld, nld)
+            A = assembly.scatter_dense_jacobian(Jc, cell_dofs, ndof)
+
+            if has_facets:
+                local_f, axes_f = R.gather_facet_locals(fields)
+                cell_verts = cells[fcells]
+                Xe_f = X[cell_verts]
+                s0_f = (u0[cell_verts], v0[cell_verts], a0[cell_verts])
+
+                def facet_fn(u1_e, Xe, floc, fopp, s0_e, local):
+                    u0_e, v0_e, a0_e = s0_e
+                    v1_e = newmark.newmark_v(u1_e, u0_e, v0_e, a0_e, dt)
+                    a1_e = newmark.newmark_a(u1_e, u0_e, v0_e, a0_e, dt)
+                    loc = dict(local)
+                    loc["state/u1"] = u1_e
+                    loc["state/v1"] = v1_e
+                    loc["state/a1"] = a1_e
+                    if has_contact:
+                        n = loc["prop/ncontact"]
+                        y = loc["prop/ycontact"]
+                        y = y[0] if jnp.ndim(y) > 0 else y
+                        k = loc["prop/kcontact"]
+                        k = k[0] if jnp.ndim(k) > 0 else k
+                        gap = (Xe + u1_e) @ n - y
+                        loc["control/tcontact"] = (
+                            -(k * jnp.maximum(gap, 0.0) ** 3)[:, None] * n
+                        )
+                    return facet_elem(Xe, floc, fopp, loc)
+
+                Jf = jax.vmap(
+                    jax.jacfwd(facet_fn), in_axes=(0, 0, 0, 0, 0, axes_f)
+                )(
+                    u1[cell_verts],
+                    Xe_f,
+                    topo.facet_floc,
+                    topo.facet_fopp,
+                    s0_f,
+                    local_f,
+                ).reshape(-1, nld, nld)
+                A = assembly.scatter_dense_jacobian(Jf, facet_cell_dofs, ndof, A)
+
+            A = assembly.apply_dirichlet_rows(A, bc_dofs)
+            return A
+
+        self.jac_u_dense = jac_u_dense
+
+        # ---- Pure Newton solve with IFT adjoint ----
+        def _solve_u1_fwd_only(u_guess, state0, control, prop, dt, params):
+            def assem(u1):
+                return res_u(u1, state0, control, prop, dt)
+
+            def solve_jac(u1, r):
+                A = jac_u_dense(u1, state0, control, prop, dt)
+                return linalg.dense_solve(A, r)
+
+            return newton_solve(u_guess, assem, solve_jac, dict(params))
+
+        @partial(jax.custom_vjp, nondiff_argnums=(5,))
+        def solve_u1(u_guess, state0, control, prop, dt, params):
+            return _solve_u1_fwd_only(u_guess, state0, control, prop, dt, params)
+
+        def solve_u1_fwd(u_guess, state0, control, prop, dt, params):
+            u1, info = _solve_u1_fwd_only(
+                u_guess, state0, control, prop, dt, params
+            )
+            return (u1, info), (u1, state0, control, prop, dt)
+
+        def solve_u1_bwd(params, saved, cotangents):
+            u1, state0, control, prop, dt = saved
+            u1_bar, _info_bar = cotangents
+            # lambda = J^{-T} u1_bar ; theta_bar = -(dR/dtheta)^T lambda
+            A = jac_u_dense(u1, state0, control, prop, dt)
+            lam = linalg.dense_solve_transpose(A, u1_bar)
+
+            def res_wrt_theta(state0_, control_, prop_, dt_):
+                return res_u(u1, state0_, control_, prop_, dt_)
+
+            _, vjp = jax.vjp(res_wrt_theta, state0, control, prop, dt)
+            g_state0, g_control, g_prop, g_dt = vjp(-lam)
+            g_guess = jax.tree_util.tree_map(jnp.zeros_like, u1)
+            return (g_guess, g_state0, g_control, g_prop, g_dt)
+
+        solve_u1.defvjp(solve_u1_fwd, solve_u1_bwd)
+        self._solve_u1 = solve_u1
+
+        def solve_state1_pure(state1_guess, state0, control, prop, dt,
+                              params=_params_key(None)):
+            u1, info = solve_u1(
+                state1_guess["u"], state0, control, prop, dt, params
+            )
+            u1_2d = u1.reshape(nvert, dim)
+            u0, v0, a0 = _elem_state0(state0)
+            v1 = newmark.newmark_v(u1_2d, u0, v0, a0, dt).reshape(-1)
+            a1 = newmark.newmark_a(u1_2d, u0, v0, a0, dt).reshape(-1)
+            return {"u": u1, "v": v1, "a": a1}, info
+
+        self.solve_state1_pure = solve_state1_pure
+
+        # ---- Full transient residual (u, v, a blocks) ----
+        def res_transient(state1, state0, control, prop, dt):
+            u1 = state1["u"].reshape(nvert, dim)
+            u0, v0, a0 = _elem_state0(state0)
+            v1n = newmark.newmark_v(u1, u0, v0, a0, dt)
+            a1n = newmark.newmark_a(u1, u0, v0, a0, dt)
+            resu = res_u(state1["u"], state0, control, prop, dt)
+            return {
+                "u": resu,
+                "v": state1["v"] - v1n.reshape(-1),
+                "a": state1["a"] - a1n.reshape(-1),
+            }
+
+        self.res_transient = res_transient
+
+    # -- Reference-compatible OO methods --------------------------------------
+    def _np_state(self, b: bv.BlockVector) -> dict:
+        return {k: jnp.asarray(v) for k, v in b.sub_items()}
+
+    def assem_res(self) -> bv.BlockVector:
+        state1 = self._np_state(self.state1)
+        state0 = self._np_state(self.state0)
+        control = {"p1": jnp.asarray(self.control["p"])}
+        prop = {k: jnp.asarray(v) for k, v in self.prop.sub_items()}
+        res = self.res_transient(state1, state0, control, prop, self._dt)
+        return bv.BlockVector(
+            [np.asarray(res[k]) for k in ("u", "v", "a")],
+            labels=[("u", "v", "a")],
+        )
+
+    def solve_state1(self, state1, options: Optional[dict] = None):
+        params = _params_key(options)
+        guess = {k: jnp.asarray(v) for k, v in state1.sub_items()}
+        state0 = self._np_state(self.state0)
+        control = {"p1": jnp.asarray(self.control["p"])}
+        prop = {k: jnp.asarray(v) for k, v in self.prop.sub_items()}
+        out, info = self.solve_state1_pure(
+            guess, state0, control, prop, self._dt, params
+        )
+        result = bv.BlockVector(
+            [np.asarray(out[k]) for k in ("u", "v", "a")],
+            labels=[("u", "v", "a")],
+        )
+        info_dict = {
+            "num_iter": int(info.num_iter),
+            "abs_err": float(info.abs_err),
+            "rel_err": float(info.rel_err),
+        }
+        return result, info_dict
+
+
+# =============================================================================
+# Fluid
+# =============================================================================
+
+
+class FluidModel(BaseTransientModel):
+    """
+    Quasi-steady fluid wrapping a ``JaxResidual``
+    (reference ``JaxModel``, ``transient.py:590-672``).
+    """
+
+    def __init__(self, residual: JaxResidual):
+        self._residual = residual
+        res, (state, control, prop) = residual.res, residual.res_args
+        self._res = res
+
+        self.state0 = bv.BlockVector(
+            list(state.values()), labels=[tuple(state.keys())]
+        )
+        self.state1 = self.state0.copy()
+        self.control = bv.BlockVector(
+            list(control.values()), labels=[tuple(control.keys())]
+        )
+        self.prop = bv.BlockVector(
+            list(prop.values()), labels=[tuple(prop.keys())]
+        )
+        self._dt = 1.0
+
+        def res_pure(state, control, prop):
+            return res(dict(state), dict(control), dict(prop))
+
+        self.res_pure = res_pure
+
+        def solve_pure(control, prop, state_proto):
+            """Quasi-steady solve: state1 = state - res(state, g, p), which
+            is independent of ``state`` (reference ``transient.py:667-672``)."""
+            zero = {k: jnp.zeros_like(v) for k, v in state_proto.items()}
+            r = res_pure(zero, control, prop)
+            return {k: zero[k] - r[k] for k in zero}
+
+        self.solve_pure = solve_pure
+
+    @property
+    def residual(self) -> JaxResidual:
+        return self._residual
+
+    @property
+    def fluid(self):
+        return self
+
+    @property
+    def dt(self):
+        return self._dt
+
+    @dt.setter
+    def dt(self, value):
+        self._dt = value
+
+    def set_ini_state(self, state):
+        self.state0[:] = state
+
+    def set_fin_state(self, state):
+        self.state1[:] = state
+
+    def set_control(self, control):
+        self.control[:] = control
+
+    def set_prop(self, prop):
+        self.prop[:] = prop
+
+    def assem_res(self) -> bv.BlockVector:
+        state = {k: jnp.asarray(v) for k, v in self.state1.sub_items()}
+        control = {k: jnp.asarray(v) for k, v in self.control.sub_items()}
+        prop = {k: jnp.asarray(v) for k, v in self.prop.sub_items()}
+        r = self.res_pure(state, control, prop)
+        keys = list(self.state1.keys())
+        return bv.BlockVector([np.asarray(r[k]) for k in keys], labels=[keys])
+
+    def solve_state1(self, state1, options=None):
+        control = {k: jnp.asarray(v) for k, v in self.control.sub_items()}
+        prop = {k: jnp.asarray(v) for k, v in self.prop.sub_items()}
+        proto = {k: jnp.asarray(v) for k, v in self.state1.sub_items()}
+        out = self.solve_pure(control, prop, proto)
+        keys = list(self.state1.keys())
+        return (
+            bv.BlockVector([np.asarray(out[k]) for k in keys], labels=[keys]),
+            {},
+        )
+
+
+# =============================================================================
+# Coupled FSI
+# =============================================================================
+
+
+class BaseTransientFSIModel(BaseTransientModel):
+    """
+    Coupled solid + 1D fluid(s) (reference: ``transient.py:678-818``).
+
+    State ``[u, v, a, q, p]``, control ``(psub, psup)`` (or ``qsub``),
+    props = solid props + fluid props + coupling midline ``ymid``.
+    """
+
+    def __init__(
+        self,
+        solid: SolidModel,
+        fluid: FluidModel,
+        solid_fsi_dofs: np.ndarray,
+        fluid_fsi_dofs: np.ndarray,
+    ):
+        self.solid = solid
+        self.fluid = fluid
+
+        self.state0 = bv.concatenate([solid.state0, fluid.state0])
+        self.state1 = bv.concatenate([solid.state1, fluid.state1])
+        # control = fluid control minus 'area' (the coupled variable)
+        fl_keys = list(fluid.control.keys())
+        self.control = fluid.control[fl_keys[1:]]
+        _self_properties = bv.BlockVector((np.array([1.0]),), labels=[("ymid",)])
+        self.prop = bv.concatenate([solid.prop, fluid.prop, _self_properties])
+
+        n_fl_p = fluid.state0["p"].size
+        self.fsimap = FSIMap(
+            n_fl_p, solid.nvert, fluid_fsi_dofs, solid_fsi_dofs
+        )
+        self._solid_dofs = jnp.asarray(solid_fsi_dofs, dtype=jnp.int32)
+        self._fluid_dofs = jnp.asarray(fluid_fsi_dofs, dtype=jnp.int32)
+
+        self._solid_prop_keys = list(solid.prop.keys())
+        self._fluid_prop_keys = list(fluid.prop.keys())
+        self._control_keys = fl_keys[1:]
+        self._build_pure_fns()
+
+    def _build_pure_fns(self):
+        raise NotImplementedError
+
+    # Shared coupling maps (pure)
+    def _pressure_to_solid(self, p_fluid: jnp.ndarray) -> jnp.ndarray:
+        out = jnp.zeros((self.solid.nvert,), dtype=p_fluid.dtype)
+        return out.at[self._solid_dofs].set(p_fluid[self._fluid_dofs])
+
+    def _area_from_u1(self, u1_flat: jnp.ndarray, prop: dict) -> jnp.ndarray:
+        """fluid area = 2*(ymid - y_surface)
+        (reference: ``transient.py:836-848``)."""
+        nvert, dim = self.solid.nvert, self.solid.dim
+        u1 = u1_flat.reshape(nvert, dim)
+        prop_fields = self.solid._prop_fields(
+            {k: prop[k] for k in self._solid_prop_keys}
+        )
+        X = self.solid._coords(prop_fields)
+        ymid = prop["ymid"][0]
+        solid_area = 2.0 * (ymid - (X + u1)[:, 1])
+        n_fl = self.fluid.control["area"].size
+        area = jnp.zeros((n_fl,), dtype=solid_area.dtype)
+        return area.at[self._fluid_dofs].set(solid_area[self._solid_dofs])
+
+    def _split_prop(self, prop: dict):
+        sl = {k: prop[k] for k in self._solid_prop_keys}
+        fl = {k: prop[k] for k in self._fluid_prop_keys}
+        return sl, fl
+
+    # -- OO API ----------------------------------------------------------------
+    @property
+    def dt(self):
+        return self.solid.dt
+
+    @dt.setter
+    def dt(self, value):
+        self.solid.dt = value
+        self.fluid.dt = value
+
+    def set_ini_state(self, state):
+        self.state0[:] = state
+
+    def set_fin_state(self, state):
+        self.state1[:] = state
+
+    def set_control(self, control):
+        self.control[:] = control
+
+    def set_prop(self, prop):
+        self.prop[:] = prop
+        # propagate to submodels (reference: ``transient.py:804-817``)
+        for k in self._solid_prop_keys:
+            self.solid.prop[k] = self.prop[k]
+        for k in self._fluid_prop_keys:
+            self.fluid.prop[k] = self.prop[k]
+
+    def _pytree_args(self):
+        state0 = {k: jnp.asarray(v) for k, v in self.state0.sub_items()}
+        control = {k: jnp.asarray(v) for k, v in self.control.sub_items()}
+        prop = {k: jnp.asarray(v) for k, v in self.prop.sub_items()}
+        return state0, control, prop
+
+    def solve_state1(self, state1, options: Optional[dict] = None):
+        params = _params_key(options)
+        state0, control, prop = self._pytree_args()
+        guess = {k: jnp.asarray(v) for k, v in state1.sub_items()}
+        out, info = self.step_pure(guess, state0, control, prop, self.dt, params)
+        keys = list(self.state1.keys())
+        result = bv.BlockVector(
+            [np.asarray(out[k]) for k in keys], labels=[keys]
+        )
+        info_dict = {
+            "num_iter": int(info.num_iter),
+            "abs_err": float(info.abs_err),
+            "rel_err": float(info.rel_err),
+        }
+        return result, info_dict
+
+    def assem_res(self) -> bv.BlockVector:
+        state1 = {k: jnp.asarray(v) for k, v in self.state1.sub_items()}
+        state0, control, prop = self._pytree_args()
+        r = self.res_pure(state1, state0, control, prop, self.dt)
+        keys = list(self.state1.keys())
+        return bv.BlockVector([np.asarray(r[k]) for k in keys], labels=[keys])
+
+
+class ExplicitFSIModel(BaseTransientFSIModel):
+    """
+    Staggered explicit coupling (reference: ``transient.py:821-961``):
+    the solid sees the *previous* step's fluid pressure; the fluid sees the
+    *current* step's solid geometry.
+    """
+
+    def _build_pure_fns(self):
+        solid, fluid = self.solid, self.fluid
+
+        def step_pure(state1_guess, state0, control, prop, dt,
+                      params=_params_key(None)):
+            sl_prop, fl_prop = self._split_prop(prop)
+            # Solid control: pressure from the previous fluid state
+            p_solid = self._pressure_to_solid(state0["p"])
+            sl_state0 = {k: state0[k] for k in ("u", "v", "a")}
+            sl_guess = {k: state1_guess[k] for k in ("u", "v", "a")}
+            uva1, info = solid.solve_state1_pure(
+                sl_guess, sl_state0, {"p1": p_solid}, sl_prop, dt, params
+            )
+            # Fluid control: area from the *final* solid displacement
+            area = self._area_from_u1(uva1["u"], prop)
+            fl_control = {"area": area, **{k: control[k] for k in control}}
+            proto = {
+                "q": state0["q"],
+                "p": state0["p"],
+            }
+            qp1 = fluid.solve_pure(fl_control, fl_prop, proto)
+            return {**uva1, **qp1}, info
+
+        self.step_pure = step_pure
+
+        def res_pure(state1, state0, control, prop, dt):
+            sl_prop, fl_prop = self._split_prop(prop)
+            p_solid = self._pressure_to_solid(state0["p"])
+            sl_state0 = {k: state0[k] for k in ("u", "v", "a")}
+            sl_state1 = {k: state1[k] for k in ("u", "v", "a")}
+            res_sl = solid.res_transient(
+                sl_state1, sl_state0, {"p1": p_solid}, sl_prop, dt
+            )
+            area = self._area_from_u1(state1["u"], prop)
+            fl_control = {"area": area, **{k: control[k] for k in control}}
+            res_fl = fluid.res_pure(
+                {"q": state1["q"], "p": state1["p"]}, fl_control, fl_prop
+            )
+            return {**res_sl, **res_fl}
+
+        self.res_pure = res_pure
+
+
+class ImplicitFSIModel(BaseTransientFSIModel):
+    """
+    Implicit coupling by fixed-point (Picard) iteration between the solid
+    and fluid (reference: ``transient.py:964-1033``).
+    """
+
+    def _build_pure_fns(self):
+        solid, fluid = self.solid, self.fluid
+
+        def res_pure(state1, state0, control, prop, dt):
+            sl_prop, fl_prop = self._split_prop(prop)
+            p_solid = self._pressure_to_solid(state1["p"])
+            sl_state0 = {k: state0[k] for k in ("u", "v", "a")}
+            sl_state1 = {k: state1[k] for k in ("u", "v", "a")}
+            res_sl = solid.res_transient(
+                sl_state1, sl_state0, {"p1": p_solid}, sl_prop, dt
+            )
+            area = self._area_from_u1(state1["u"], prop)
+            fl_control = {"area": area, **{k: control[k] for k in control}}
+            res_fl = fluid.res_pure(
+                {"q": state1["q"], "p": state1["p"]}, fl_control, fl_prop
+            )
+            return {**res_sl, **res_fl}
+
+        self.res_pure = res_pure
+
+        def step_pure(state1_guess, state0, control, prop, dt,
+                      params=_params_key(None)):
+            sl_prop, fl_prop = self._split_prop(prop)
+            sl_state0 = {k: state0[k] for k in ("u", "v", "a")}
+            fp_params = {**FIXEDPOINT_SOLVER_PRM}
+
+            def picard(x):
+                # solid solve with the current iterate's fluid pressure
+                p_solid = self._pressure_to_solid(x["p"])
+                sl_guess = {k: x[k] for k in ("u", "v", "a")}
+                uva1, _ = solid.solve_state1_pure(
+                    sl_guess, sl_state0, {"p1": p_solid}, sl_prop, dt, params
+                )
+                area = self._area_from_u1(uva1["u"], prop)
+                fl_control = {"area": area, **{k: control[k] for k in control}}
+                qp1 = fluid.solve_pure(
+                    fl_control, fl_prop, {"q": x["q"], "p": x["p"]}
+                )
+                return {**uva1, **qp1}
+
+            def res_fn(x):
+                return res_pure(x, state0, control, prop, dt)
+
+            from ..solvers.newton import iterative_solve
+
+            x, info = iterative_solve(
+                dict(state1_guess), res_fn, picard, params=fp_params
+            )
+            return x, info
+
+        self.step_pure = step_pure

@@ -1,0 +1,258 @@
+"""
+Residual definitions binding forms to meshes.
+
+``FemResidual`` is the TPU-native analogue of the reference's
+``FenicsResidual`` (reference: ``src/femvf/residuals/base.py:23-104``): a
+signed sum of form-zoo instances bound to a mesh, its marker functions, and
+Dirichlet BC specs.  Instead of a UFL graph it compiles the forms into pure
+batched element functions plus gather/scatter index arrays.
+
+``JaxResidual`` matches the reference's trivial holder for fluid models
+(reference: ``residuals/base.py:115-133``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..mesh.core import Mesh
+from ..fem import assembly
+from ..fem.assembly import Topology, build_topology
+from ..fem.forms import BaseForm, CoeffSpec
+
+# Dirichlet BC spec: (value, element_type, subdomain_name) as in the
+# reference (``residuals/base.py:54-65``); default zero displacement on
+# the 'fixed' facet subdomain.
+DirichletBCTuple = tuple
+DEFAULT_DIRICHLET_BC = {"state/u1": [(0.0, "facet", "fixed")]}
+
+
+class FemResidual:
+    """A signed sum of element forms over a mesh: F_u(u1, v1, a1; g, p)."""
+
+    def __init__(
+        self,
+        signed_forms: Sequence[tuple],  # [(sign, BaseForm), ...]
+        mesh: Mesh,
+        traction_subdomains: Sequence[str] = ("pressure",),
+        dirichlet_bc_specs: Optional[dict] = None,
+    ):
+        self._signed_forms = list(signed_forms)
+        self._mesh = mesh
+        self._traction_subdomains = tuple(traction_subdomains)
+        if dirichlet_bc_specs is None:
+            dirichlet_bc_specs = DEFAULT_DIRICHLET_BC
+        self._dirichlet_bc_specs = dirichlet_bc_specs
+
+        self.topology: Topology = build_topology(mesh, traction_subdomains)
+
+        # Union of coefficient specs
+        self.coefficient_spec: dict = {}
+        for _, form in self._signed_forms:
+            for key, spec in form.COEFFICIENT_SPEC.items():
+                if key in self.coefficient_spec:
+                    prev = self.coefficient_spec[key]
+                    if prev.space != spec.space:
+                        raise ValueError(
+                            f"Conflicting spaces for coefficient {key}:"
+                            f" {prev.space} vs {spec.space}"
+                        )
+                else:
+                    self.coefficient_spec[key] = spec
+
+        self._cell_forms = [
+            (s, f) for s, f in self._signed_forms if f.domain == "cell"
+        ]
+        self._facet_forms = [
+            (s, f) for s, f in self._signed_forms if f.domain == "facet"
+        ]
+
+        # Reference mesh coordinates, kept immutable (shape updates add
+        # prop/umesh on top; reference ``residuals/base.py:74-81``)
+        self.ref_mesh_coords = np.array(mesh.coords, copy=True)
+
+        # Dirichlet vertex mask for the displacement state
+        subnames = [
+            spec[2] for spec in self._dirichlet_bc_specs.get("state/u1", [])
+        ]
+        if subnames:
+            self.bc_vertex_mask = assembly.dirichlet_vertex_mask(mesh, subnames)
+        else:
+            self.bc_vertex_mask = np.zeros(mesh.num_vertices, dtype=bool)
+        dim = mesh.dim
+        bc_verts = np.nonzero(self.bc_vertex_mask)[0]
+        self.bc_dofs = jnp.asarray(
+            (bc_verts[:, None] * dim + np.arange(dim)[None, :]).reshape(-1),
+            dtype=np.int32,
+        )
+
+    # -- Reference-compatible accessors ---------------------------------
+    def mesh(self) -> Mesh:
+        return self._mesh
+
+    def mesh_function(self, element_type):
+        return self._mesh.mesh_function(element_type)
+
+    def mesh_subdomain(self, element_type):
+        return self._mesh.mesh_subdomain(element_type)
+
+    @property
+    def dirichlet_bc_specs(self):
+        return self._dirichlet_bc_specs
+
+    @property
+    def forms(self):
+        return self._signed_forms
+
+    def form_instance(self, cls):
+        """Return the (first) form instance of a given class, or None."""
+        for _, f in self._signed_forms:
+            if isinstance(f, cls):
+                return f
+        return None
+
+    # -- Coefficient plumbing --------------------------------------------
+    def coefficient_shape(self, key: str):
+        spec = self.coefficient_spec[key]
+        nvert, nc, dim = (
+            self._mesh.num_vertices,
+            self._mesh.num_cells,
+            self._mesh.dim,
+        )
+        return {
+            "cg1_vector": (nvert, dim),
+            "cg1_scalar": (nvert,),
+            "dg0_scalar": (nc,),
+            "const_scalar": (1,),
+            "const_vector": (dim,),
+        }[spec.space]
+
+    def default_coefficients(self) -> dict:
+        """Global coefficient arrays filled with each spec's default value."""
+        out = {}
+        for key, spec in self.coefficient_spec.items():
+            arr = np.full(self.coefficient_shape(key), float(spec.default))
+            if spec.space == "const_vector" and key == "prop/ncontact":
+                # reference sets the default contact normal to +y
+                # (``form.py:788-791``)
+                arr[:] = 0.0
+                arr[1] = 1.0
+            out[key] = arr
+        return out
+
+    # -- Element functions --------------------------------------------------
+    def cell_elem_fn(self) -> Callable:
+        topo = self.topology
+        cell_forms = self._cell_forms
+
+        def cell_elem(Xe, local):
+            geom = assembly.make_cell_geom(Xe, topo)
+            res = None
+            for sign, form in cell_forms:
+                r = sign * form.cell_kernel(geom, local)
+                res = r if res is None else res + r
+            return res
+
+        return cell_elem
+
+    def facet_elem_fn(self) -> Callable:
+        topo = self.topology
+        facet_forms = self._facet_forms
+
+        def facet_elem(Xe, floc, fopp, local):
+            geom = assembly.make_facet_geom(Xe, floc, fopp, topo)
+            res = None
+            for sign, form in facet_forms:
+                r = sign * form.facet_kernel(geom, local)
+                res = r if res is None else res + r
+            return res
+
+        return facet_elem
+
+    def gather_cell_locals(self, fields: dict):
+        """Per-cell local coefficient values + vmap in_axes spec."""
+        topo = self.topology
+        cells = topo.cells
+        local, axes = {}, {}
+        for key, spec in self.coefficient_spec.items():
+            arr = fields[key]
+            if spec.space in ("cg1_vector", "cg1_scalar"):
+                local[key] = arr[cells]
+                axes[key] = 0
+            elif spec.space == "dg0_scalar":
+                local[key] = arr
+                axes[key] = 0
+            else:  # const
+                local[key] = arr[0] if spec.space == "const_scalar" else arr
+                axes[key] = None
+        return local, axes
+
+    def gather_facet_locals(self, fields: dict):
+        topo = self.topology
+        fcells = topo.facet_cells
+        cell_verts = topo.cells[fcells]  # (nf, nv)
+        local, axes = {}, {}
+        for key, spec in self.coefficient_spec.items():
+            arr = fields[key]
+            if spec.space in ("cg1_vector", "cg1_scalar"):
+                local[key] = arr[cell_verts]
+                axes[key] = 0
+            elif spec.space == "dg0_scalar":
+                local[key] = arr[fcells]
+                axes[key] = 0
+            else:
+                local[key] = arr[0] if spec.space == "const_scalar" else arr
+                axes[key] = None
+        return local, axes
+
+    def n_facets(self) -> int:
+        return int(self.topology.facet_cells.shape[0])
+
+    def assemble_res(self, fields: dict) -> jnp.ndarray:
+        """
+        Assemble the (nvert, dim) residual of the 'u' form given *all*
+        coefficient fields explicitly (u1/v1/a1 independent).  No BCs.
+        """
+        topo = self.topology
+        mesh = self._mesh
+        X = jnp.asarray(self.ref_mesh_coords)
+        if "prop/umesh" in fields:
+            X = X + fields["prop/umesh"]
+
+        cell_elem = self.cell_elem_fn()
+        local, axes = self.gather_cell_locals(fields)
+        Xe = X[topo.cells]
+        res_c = jax.vmap(cell_elem, in_axes=(0, axes))(Xe, local)
+        res = assembly.scatter_add(res_c, topo.cells, mesh.num_vertices)
+
+        if self._facet_forms and self.n_facets() > 0:
+            facet_elem = self.facet_elem_fn()
+            flocal, faxes = self.gather_facet_locals(fields)
+            cell_verts = topo.cells[topo.facet_cells]
+            Xf = X[cell_verts]
+            res_f = jax.vmap(facet_elem, in_axes=(0, 0, 0, faxes))(
+                Xf, topo.facet_floc, topo.facet_fopp, flocal
+            )
+            res = res + assembly.scatter_add(res_f, cell_verts, mesh.num_vertices)
+        return res
+
+
+class JaxResidual:
+    """Holder of a fluid residual callable + prototype args
+    (reference: ``residuals/base.py:115-133``)."""
+
+    def __init__(self, res: Callable, res_args: tuple):
+        self._res = res
+        self._res_args = res_args
+
+    @property
+    def res(self):
+        return self._res
+
+    @property
+    def res_args(self):
+        return self._res_args

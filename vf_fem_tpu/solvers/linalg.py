@@ -1,0 +1,98 @@
+"""
+TPU-resident linear solvers.
+
+Replaces PETSc KSP/LU (reference: ``dfn.solve(A, x, b, 'petsc')`` at
+``src/femvf/models/transient.py:470-491`` and the PREONLY+LU KSP at
+``transient.py:1133-1140``):
+
+- Dense LU on the MXU for M5-scale systems (1k-10k DOFs) — at these sizes a
+  single batched dense factorization beats any sparse iteration on TPU.
+- Jacobi-preconditioned CG on a matrix-free EBE operator for larger systems.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+def dense_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.linalg.solve(A, b)
+
+
+def dense_solve_transpose(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.linalg.solve(A.T, b)
+
+
+class CGResult(NamedTuple):
+    x: jnp.ndarray
+    n_iter: jnp.ndarray
+    res_norm: jnp.ndarray
+
+
+def pcg(
+    matvec: Callable,
+    b: jnp.ndarray,
+    x0: jnp.ndarray = None,
+    precond_diag: jnp.ndarray = None,
+    tol: float = 1e-10,
+    atol: float = 1e-12,
+    max_iter: int = 1000,
+) -> CGResult:
+    """Jacobi-preconditioned conjugate gradients (jittable while_loop)."""
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    Minv = 1.0 if precond_diag is None else 1.0 / precond_diag
+
+    r0 = b - matvec(x0)
+    z0 = Minv * r0
+    p0 = z0
+    rz0 = jnp.vdot(r0, z0)
+    bnorm = jnp.linalg.norm(b)
+    target = jnp.maximum(tol * bnorm, atol)
+
+    def cond(carry):
+        x, r, z, p, rz, k = carry
+        return jnp.logical_and(jnp.linalg.norm(r) > target, k < max_iter)
+
+    def body(carry):
+        x, r, z, p, rz, k = carry
+        Ap = matvec(p)
+        alpha = rz / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = Minv * r
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / rz
+        p = z + beta * p
+        return (x, r, z, p, rz_new, k + 1)
+
+    x, r, z, p, rz, k = jax.lax.while_loop(cond, body, (x0, r0, z0, p0, rz0, 0))
+    return CGResult(x=x, n_iter=k, res_norm=jnp.linalg.norm(r))
+
+
+def bicgstab(
+    matvec: Callable,
+    b: jnp.ndarray,
+    x0: jnp.ndarray = None,
+    precond_diag: jnp.ndarray = None,
+    tol: float = 1e-10,
+    atol: float = 1e-12,
+    max_iter: int = 1000,
+) -> CGResult:
+    """Jacobi-preconditioned BiCGStab for nonsymmetric EBE operators."""
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    Minv = 1.0 if precond_diag is None else 1.0 / precond_diag
+
+    def M(v):
+        return Minv * v
+
+    x, info = jax.scipy.sparse.linalg.bicgstab(
+        matvec, b, x0=x0, tol=tol, atol=atol, maxiter=max_iter, M=M
+    )
+    r = b - matvec(x)
+    return CGResult(x=x, n_iter=jnp.array(-1), res_norm=jnp.linalg.norm(r))

@@ -1,0 +1,114 @@
+"""
+Jittable Newton and fixed-point drivers.
+
+Replaces the external ``nonlineq`` package
+(``newton_solve``/``iterative_solve``, call sites at reference
+``src/femvf/models/transient.py:441-468`` and ``:1031-1033``) with
+``lax.while_loop``-based solvers that run entirely on device and return the
+reference's per-step solver telemetry ``{num_iter, abs_err, rel_err}``
+(persisted to the statefile, reference ``src/femvf/forward.py:77-83``).
+
+Stopping rule (matching nonlineq semantics): converged when
+``abs_err < abs_tol`` or ``abs_err < rel_tol * abs_err0``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..solverconst import DEFAULT_NEWTON_SOLVER_PRM
+
+
+class SolveInfo(NamedTuple):
+    num_iter: jnp.ndarray
+    abs_err: jnp.ndarray
+    rel_err: jnp.ndarray
+
+
+def newton_solve(
+    x0: jnp.ndarray,
+    assem_res: Callable[[jnp.ndarray], jnp.ndarray],
+    solve_jac: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    params: dict = None,
+):
+    """
+    Solve ``res(x) = 0`` by Newton's method.
+
+    ``assem_res(x)`` returns the residual vector; ``solve_jac(x, r)`` returns
+    ``J(x)^{-1} r``.  Iterates ``x <- x - J^{-1} res`` until the residual
+    norm meets the absolute/relative tolerance, all inside a jittable
+    ``while_loop`` with a static iteration cap.
+    """
+    params = {**DEFAULT_NEWTON_SOLVER_PRM, **(params or {})}
+    abs_tol = params["absolute_tolerance"]
+    rel_tol = params["relative_tolerance"]
+    max_iter = params["maximum_iterations"]
+
+    res0 = assem_res(x0)
+    err0 = jnp.linalg.norm(res0)
+
+    def cond(carry):
+        x, res, err, k = carry
+        not_conv = jnp.logical_and(err >= abs_tol, err >= rel_tol * err0)
+        return jnp.logical_and(not_conv, k < max_iter)
+
+    def body(carry):
+        x, res, err, k = carry
+        dx = solve_jac(x, res)
+        x = x - dx
+        res = assem_res(x)
+        return (x, res, jnp.linalg.norm(res), k + 1)
+
+    x, res, err, k = jax.lax.while_loop(cond, body, (x0, res0, err0, 0))
+    info = SolveInfo(
+        num_iter=k, abs_err=err, rel_err=err / jnp.where(err0 == 0, 1.0, err0)
+    )
+    return x, info
+
+
+def iterative_solve(
+    x0,
+    assem_res: Callable,
+    step: Callable,
+    norm: Callable = None,
+    params: dict = None,
+):
+    """
+    Fixed-point (Picard) iteration: ``x <- step(x)`` until the residual norm
+    converges (replaces ``nonlineq.iterative_solve``, used by the implicit
+    FSI model at reference ``transient.py:1031-1033``).
+
+    ``x0`` may be any pytree; ``assem_res(x)`` returns a residual pytree.
+    """
+    params = {**DEFAULT_NEWTON_SOLVER_PRM, **(params or {})}
+    abs_tol = params["absolute_tolerance"]
+    rel_tol = params["relative_tolerance"]
+    max_iter = params.get("maximum_iterations", 50)
+
+    if norm is None:
+
+        def norm(tree):
+            leaves = jax.tree_util.tree_leaves(tree)
+            return jnp.sqrt(sum(jnp.sum(jnp.square(l)) for l in leaves))
+
+    err0 = norm(assem_res(x0))
+
+    def cond(carry):
+        x, err, k = carry
+        not_conv = jnp.logical_and(err >= abs_tol, err >= rel_tol * err0)
+        return jnp.logical_and(not_conv, k < max_iter)
+
+    def body(carry):
+        x, err, k = carry
+        x = step(x)
+        err = norm(assem_res(x))
+        return (x, err, k + 1)
+
+    x, err, k = jax.lax.while_loop(cond, body, (x0, err0, 0))
+    info = SolveInfo(
+        num_iter=k, abs_err=err, rel_err=err / jnp.where(err0 == 0, 1.0, err0)
+    )
+    return x, info
