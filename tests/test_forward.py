@@ -1,0 +1,115 @@
+"""
+End-to-end forward integration tests
+(modelled on reference ``tests/test_forward.py:163-257``, with the
+correctness assertions the reference lacks).
+"""
+
+import numpy as np
+import pytest
+
+from vf_fem_tpu import forward, statefile as sf
+from vf_fem_tpu.blocks import BlockVector
+
+from fixture_models import make_vf_fsi_model
+
+
+@pytest.fixture(scope="module")
+def model():
+    return make_vf_fsi_model()
+
+
+def test_integrate_writes_statefile(model, tmp_path):
+    times = 2e-5 * np.arange(64)
+    ini_state = model.state0.copy()
+    ini_state[:] = 0.0
+
+    path = str(tmp_path / "fwd.h5")
+    with sf.StateFile(model, path, mode="w") as f:
+        fin_state, info = forward.integrate(
+            model, f, ini_state, [model.control], model.prop, times
+        )
+        assert f.size == len(times)
+        # stored final state matches returned one
+        stored = f.get_state(f.size - 1)
+        for k in ("u", "v", "a", "q", "p"):
+            np.testing.assert_allclose(stored[k], fin_state[k], rtol=1e-12)
+        # all steps converged
+        all_info = info["all"]
+        assert np.all(all_info["abs_err"] < 1e-6)
+        # physically active: flow is positive, fold moved
+        assert float(np.abs(fin_state["u"]).max()) > 1e-6
+        assert float(fin_state["q"][0]) > 0
+
+    # sequential per-step integration matches the scanned loop
+    model.set_ini_state(ini_state)
+    state = ini_state
+    for n in range(3):
+        model.dt = times[n + 1] - times[n]
+        state, _ = model.solve_state1(state)
+        model.set_ini_state(state)
+    with sf.StateFile(model, path, mode="r") as f:
+        stored3 = f.get_state(3)
+    for k in ("u", "q", "p"):
+        np.testing.assert_allclose(
+            stored3[k], state[k], rtol=1e-8, atol=1e-12
+        )
+
+
+def test_integrate_extend(model, tmp_path):
+    times = 2e-5 * np.arange(10)
+    ini_state = model.state0.copy()
+    ini_state[:] = 0.0
+    path = str(tmp_path / "ext.h5")
+
+    with sf.StateFile(model, path, mode="w") as f:
+        forward.integrate(model, f, ini_state, [model.control], model.prop, times)
+        fin_a, _ = forward.integrate_extend(
+            model, f, [model.control], 2e-5 * np.arange(6)
+        )
+        assert f.size == 15
+
+    # one continuous run over the same 15 time points matches
+    times_full = 2e-5 * np.arange(15)
+    path2 = str(tmp_path / "full.h5")
+    with sf.StateFile(model, path2, mode="w") as f2:
+        fin_b, _ = forward.integrate(
+            model, f2, ini_state, [model.control], model.prop, times_full
+        )
+    for k in ("u", "v", "a", "q", "p"):
+        np.testing.assert_allclose(fin_a[k], fin_b[k], rtol=1e-9, atol=1e-13)
+
+
+def test_integrate_validates_times(model):
+    ini_state = model.state0.copy()
+    with pytest.raises(ValueError):
+        forward.integrate(
+            model, None, ini_state, [model.control], model.prop, [], write=False
+        )
+    with pytest.raises(ValueError):
+        forward.integrate(
+            model, None, ini_state, [model.control], model.prop,
+            [1.0, 0.5], write=False,
+        )
+
+
+def test_time_varying_controls(model):
+    """Last control is held for remaining steps
+    (reference: ``forward.py:170``)."""
+    times = 2e-5 * np.arange(6)
+    ini_state = model.state0.copy()
+    ini_state[:] = 0.0
+
+    ramp = []
+    for fac in (0.25, 0.5, 1.0):
+        c = model.control.copy()
+        c["psub"][:] = 8000.0 * fac
+        ramp.append(c)
+
+    fin_ramp, _ = forward.integrate(
+        model, None, ini_state, ramp, model.prop, times, write=False
+    )
+    fin_const, _ = forward.integrate(
+        model, None, ini_state, [ramp[-1]], model.prop, times, write=False
+    )
+    # ramped start -> different trajectory than constant full pressure
+    assert not np.allclose(fin_ramp["u"], fin_const["u"])

@@ -14,6 +14,7 @@ __version__ = "0.1.0"
 from . import blocks, constants, solverconst
 from . import mesh, fem, equations, residuals, models, solvers
 from . import load
+from . import forward, adjoint, static, statefile
 
 __all__ = [
     "blocks",

@@ -1,0 +1,325 @@
+"""
+Forward time integration.
+
+The reference integrates with a per-step Python loop crossing the
+Python/C++/PETSc/HDF5 boundary ~15 times per step
+(reference: ``src/femvf/forward.py:139-186``, SURVEY section 3.2).  Here the
+whole time loop is one ``lax.scan`` inside one jitted XLA program; states,
+controls and solver telemetry stream back as stacked arrays and are written
+to the HDF5 statefile in windows.
+
+Units are CGS (reference: ``forward.py:4``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import blocks as bv
+from . import statefile as sf
+from .models.transient import BaseTransientModel, _params_key
+
+Options = dict
+
+
+def _stack_controls(model, controls) -> dict:
+    """Stack a list of control BlockVectors into a leading-axis pytree."""
+    dicts = [model.control_to_dict(c) for c in controls]
+    return {
+        k: jnp.stack([d[k] for d in dicts], axis=0) for k in dicts[0]
+    }
+
+
+def _get_scan_fn(
+    model,
+    params: tuple,
+    n_controls: int,
+    use_remat: bool = False,
+    mode: str = "rev",
+):
+    """
+    Build (and cache on the model) the jitted scanned integrator.
+
+    ``mode='rev'`` uses the custom_vjp solver (reverse-mode/adjoint capable);
+    ``mode='fwd'`` uses the custom_jvp solver (tangent propagation,
+    ``integrate_linear``).
+    """
+    cache = getattr(model, "_scan_cache", None)
+    if cache is None:
+        cache = {}
+        model._scan_cache = cache
+    key = (params, n_controls, use_remat, mode)
+    if key in cache:
+        return cache[key]
+
+    step_pure = model.step_pure if mode == "rev" else model.step_pure_fwd
+
+    def step(state0, control, prop, dt):
+        state1, info = step_pure(state0, state0, control, prop, dt, params)
+        return state1, info
+
+    if use_remat:
+        step = jax.checkpoint(step)
+
+    def scan_fn(ini_state, controls_stacked, prop, times):
+        dts = jnp.diff(times)
+        n_steps = dts.shape[0]
+
+        def body(carry, xs):
+            dt, n = xs
+            idx = jnp.minimum(n, n_controls - 1)
+            control = jax.tree_util.tree_map(
+                lambda a: a[idx], controls_stacked
+            )
+            state1, info = step(carry, control, prop, dt)
+            return state1, (state1, info)
+
+        fin_state, (traj, infos) = jax.lax.scan(
+            body, ini_state, (dts, jnp.arange(n_steps))
+        )
+        return fin_state, traj, infos
+
+    fn = jax.jit(scan_fn)
+    cache[key] = fn
+    return fn
+
+
+def integrate_pure(
+    model,
+    ini_state: dict,
+    controls_stacked: dict,
+    prop: dict,
+    times: jnp.ndarray,
+    params: Optional[dict] = None,
+    use_remat: bool = False,
+    mode: str = "rev",
+):
+    """
+    Pure scanned integration: returns ``(fin_state, trajectory, infos)``
+    where trajectory arrays have leading time axis of length ``len(times)-1``.
+
+    This is the function to ``jax.grad``/``jax.vmap`` over (see
+    ``vf_fem_tpu.adjoint`` and ``vf_fem_tpu.parallel.sweep``).  Use
+    ``mode='fwd'`` when the result will be ``jax.jvp``'d.
+    """
+    n_controls = jax.tree_util.tree_leaves(controls_stacked)[0].shape[0]
+    fn = _get_scan_fn(model, _params_key(params), n_controls, use_remat, mode)
+    return fn(ini_state, controls_stacked, prop, jnp.asarray(times))
+
+
+def validate_times(times) -> np.ndarray:
+    """(reference: ``forward.py:65-72``)"""
+    times = np.asarray(times)
+    if times.size < 1:
+        raise ValueError("There must be at least 1 time integration point.")
+    if times[-1] <= times[0]:
+        raise ValueError(
+            "The final time point must be greater or equal to the initial one."
+            f" The input initial/final times were {times[0]}/{times[-1]}"
+        )
+    return times
+
+
+def integrate(
+    model: BaseTransientModel,
+    f: Optional[sf.StateFile],
+    ini_state: bv.BlockVector,
+    controls: list,
+    prop: bv.BlockVector,
+    times,
+    idx_meas: Optional[np.ndarray] = None,
+    newton_solver_prm: Optional[Options] = None,
+    write: bool = True,
+    use_tqdm: bool = False,
+):
+    """
+    Integrate the model over ``times`` (reference: ``forward.py:22-102``).
+
+    ``controls`` is a list of control BlockVectors; a single entry is held
+    constant over the run, otherwise the last entry is held for remaining
+    steps (reference: ``forward.py:170``).
+    """
+    if idx_meas is None:
+        idx_meas = np.array([])
+    times = validate_times(times)
+
+    model.set_prop(prop)
+    state0 = {k: jnp.asarray(v) for k, v in ini_state.sub_items()}
+    controls_stacked = _stack_controls(model, controls)
+    prop_d = model.prop_to_dict(prop)
+
+    fin_state, traj, infos = integrate_pure(
+        model, state0, controls_stacked, prop_d, times, newton_solver_prm
+    )
+
+    state_keys = list(ini_state.keys())
+    fin_bv = bv.BlockVector(
+        [np.asarray(fin_state[k]) for k in state_keys], labels=[state_keys]
+    )
+    n_steps = len(times) - 1
+    step_info = {
+        "num_iter": np.asarray(infos.num_iter),
+        "abs_err": np.asarray(infos.abs_err),
+        "rel_err": np.asarray(infos.rel_err),
+    }
+
+    if write and f is not None:
+        f.init_layout()
+        # initial state row (reference: ``forward.py:75-86``)
+        f.append_state(ini_state)
+        f.append_control(controls[0])
+        f.append_time(times[0])
+        f.append_solver_info({"num_iter": 0, "abs_err": 0, "rel_err": 0})
+        f.append_prop(prop)
+        if 0 in idx_meas:
+            f.append_meas_index(0)
+
+        # trajectory window
+        ctrl_traj = {}
+        for k, arr in controls_stacked.items():
+            idx = np.minimum(np.arange(n_steps), arr.shape[0] - 1)
+            ctrl_traj[k] = np.asarray(arr)[idx]
+        # map pure control keys back to BlockVector labels
+        ctrl_keys = list(model.control.keys())
+        pure_keys = list(ctrl_traj.keys())
+        named = {
+            bk: ctrl_traj[pk] for bk, pk in zip(ctrl_keys, pure_keys)
+        }
+        f.append_window(
+            {k: np.asarray(traj[k]) for k in state_keys},
+            named,
+            times[1:],
+            step_info,
+        )
+        for n in idx_meas:
+            if n != 0:
+                f.append_meas_index(int(n))
+
+    last_info = {
+        "num_iter": int(step_info["num_iter"][-1]),
+        "abs_err": float(step_info["abs_err"][-1]),
+        "rel_err": float(step_info["rel_err"][-1]),
+    }
+    last_info["all"] = step_info
+    return fin_bv, last_info
+
+
+def integrate_extend(
+    model: BaseTransientModel,
+    f: sf.StateFile,
+    controls: list,
+    times,
+    idx_meas=None,
+    newton_solver_prm: Optional[Options] = None,
+    write: bool = True,
+):
+    """Resume integration from the last state in ``f``
+    (reference: ``forward.py:105-136``)."""
+    prop = f.get_prop()
+    N = f.size
+    ini_state = f.get_state(N - 1)
+    ini_time = f.get_time(N - 1)
+    times = np.asarray(times) + ini_time
+
+    model.set_prop(prop)
+    state0 = {k: jnp.asarray(v) for k, v in ini_state.sub_items()}
+    controls_stacked = _stack_controls(model, controls)
+    prop_d = model.prop_to_dict(prop)
+
+    fin_state, traj, infos = integrate_pure(
+        model, state0, controls_stacked, prop_d, times, newton_solver_prm
+    )
+    state_keys = list(ini_state.keys())
+    n_steps = len(times) - 1
+    step_info = {
+        "num_iter": np.asarray(infos.num_iter),
+        "abs_err": np.asarray(infos.abs_err),
+        "rel_err": np.asarray(infos.rel_err),
+    }
+    if write:
+        ctrl_keys = list(model.control.keys())
+        ctrl_traj = {}
+        for bk, (pk, arr) in zip(ctrl_keys, controls_stacked.items()):
+            idx = np.minimum(np.arange(n_steps), arr.shape[0] - 1)
+            ctrl_traj[bk] = np.asarray(arr)[idx]
+        f.append_window(
+            {k: np.asarray(traj[k]) for k in state_keys},
+            ctrl_traj,
+            times[1:],
+            step_info,
+        )
+    fin_bv = bv.BlockVector(
+        [np.asarray(fin_state[k]) for k in state_keys], labels=[state_keys]
+    )
+    return fin_bv, step_info
+
+
+def integrate_step(
+    model: BaseTransientModel,
+    ini_state: bv.BlockVector,
+    control: bv.BlockVector,
+    prop: bv.BlockVector,
+    dt: float,
+    set_prop: bool = False,
+    options: Optional[Options] = None,
+):
+    """Single-step integration (reference: ``forward.py:247-268``)."""
+    model.dt = dt
+    model.set_ini_state(ini_state)
+    model.set_control(control)
+    if set_prop:
+        model.set_prop(prop)
+    return model.solve_state1(ini_state, options=options)
+
+
+def integrate_linear(
+    model,
+    f: sf.StateFile,
+    dini_state: bv.BlockVector,
+    dcontrols: list,
+    dprop: bv.BlockVector,
+    dtimes,
+):
+    """
+    Linearized (tangent) integration about a stored trajectory
+    (reference: ``forward.py:189-244``), computed with one ``jax.jvp``
+    through the scanned forward integrator instead of hand-chained
+    ``apply_dres_*`` products.
+    """
+    prop = f.get_prop()
+    times = f.get_times()
+    ini_state = f.get_state(0)
+    # The base controls: reconstruct from the file (held-last semantics okay)
+    n_ctrl_rows = f.root_group["control"][list(model.control.keys())[0]].shape[0]
+    controls = [f.get_control(n) for n in range(min(n_ctrl_rows, f.size))]
+
+    state0 = {k: jnp.asarray(v) for k, v in ini_state.sub_items()}
+    controls_stacked = _stack_controls(model, controls)
+    prop_d = model.prop_to_dict(prop)
+    times_j = jnp.asarray(times)
+
+    dstate0 = {k: jnp.asarray(v) for k, v in dini_state.sub_items()}
+    dcontrols_stacked = _stack_controls(model, dcontrols)
+    # pad/truncate tangent controls to match primal stacking
+    dcontrols_stacked = {
+        k: jnp.broadcast_to(v, controls_stacked[k].shape)
+        for k, v in dcontrols_stacked.items()
+    }
+    dprop_d = model.prop_to_dict(dprop)
+    dtimes_j = jnp.asarray(np.asarray(dtimes))
+
+    def run(s0, cs, p, ts):
+        fin, _, _ = integrate_pure(model, s0, cs, p, ts, mode="fwd")
+        return fin
+
+    _, dfin = jax.jvp(
+        run,
+        (state0, controls_stacked, prop_d, times_j),
+        (dstate0, dcontrols_stacked, dprop_d, dtimes_j),
+    )
+    keys = list(ini_state.keys())
+    return bv.BlockVector([np.asarray(dfin[k]) for k in keys], labels=[keys])

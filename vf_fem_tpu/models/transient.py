@@ -375,6 +375,50 @@ class SolidModel(BaseTransientModel):
         solve_u1.defvjp(solve_u1_fwd, solve_u1_bwd)
         self._solve_u1 = solve_u1
 
+        # Forward-mode (jvp) variant for tangent propagation
+        # (``forward.integrate_linear``); custom_vjp functions cannot be
+        # jvp'd, so the IFT tangent rule is registered separately.
+        @partial(jax.custom_jvp, nondiff_argnums=(5,))
+        def solve_u1_fwdmode(u_guess, state0, control, prop, dt, params):
+            u1, _ = _solve_u1_fwd_only(u_guess, state0, control, prop, dt, params)
+            return u1
+
+        @solve_u1_fwdmode.defjvp
+        def solve_u1_jvp(params, primals, tangents):
+            u_guess, state0, control, prop, dt = primals
+            _, dstate0, dcontrol, dprop, ddt = tangents
+            u1 = solve_u1_fwdmode(u_guess, state0, control, prop, dt, params)
+            # du = -J^{-1} (dR/dtheta) theta_dot
+            _, rdot = jax.jvp(
+                lambda s0, c, p, t: res_u(u1, s0, c, p, t),
+                (state0, control, prop, dt),
+                (dstate0, dcontrol, dprop, ddt),
+            )
+            A = jac_u_dense(u1, state0, control, prop, dt)
+            du = -linalg.dense_solve(A, rdot)
+            return u1, du
+
+        def solve_state1_pure_fwd(state1_guess, state0, control, prop, dt,
+                                  params=_params_key(None)):
+            from ..solvers.newton import SolveInfo
+
+            u1 = solve_u1_fwdmode(
+                state1_guess["u"], state0, control, prop, dt, params
+            )
+            u1_2d = u1.reshape(nvert, dim)
+            u0, v0, a0 = _elem_state0(state0)
+            v1 = newmark.newmark_v(u1_2d, u0, v0, a0, dt).reshape(-1)
+            a1 = newmark.newmark_a(u1_2d, u0, v0, a0, dt).reshape(-1)
+            info = SolveInfo(
+                num_iter=jnp.array(0),
+                abs_err=jnp.array(0.0),
+                rel_err=jnp.array(0.0),
+            )
+            return {"u": u1, "v": v1, "a": a1}, info
+
+        self.solve_state1_pure_fwd = solve_state1_pure_fwd
+        self.step_pure_fwd = solve_state1_pure_fwd
+
         def solve_state1_pure(state1_guess, state0, control, prop, dt,
                               params=_params_key(None)):
             u1, info = solve_u1(
@@ -387,6 +431,109 @@ class SolidModel(BaseTransientModel):
             return {"u": u1, "v": v1, "a": a1}, info
 
         self.solve_state1_pure = solve_state1_pure
+        self.step_pure = solve_state1_pure
+
+        # ---- Static problem (u0 := u1, v1 = a1 = 0) ----
+        # The reference recovers statics by substituting u0 := u1 so the
+        # Newmark updates vanish (reference: ``static.py:1-20,118-124``).
+        # Here that is simply the residual with v1 = a1 = 0 and the Jacobian
+        # taken with v1, a1 held fixed.
+        def res_u_static(u1_flat, control, prop):
+            u1 = u1_flat.reshape(nvert, dim)
+            z = jnp.zeros_like(u1)
+            prop_fields = self._prop_fields(prop)
+            fields = full_fields(u1, z, z, control, prop_fields)
+            res = R.assemble_res(fields).reshape(-1)
+            return res.at[bc_dofs].set(u1_flat[bc_dofs] - 0.0)
+
+        self.res_u_static = res_u_static
+
+        def jac_u_static_dense(u1_flat, control, prop):
+            u1 = u1_flat.reshape(nvert, dim)
+            prop_fields = self._prop_fields(prop)
+            X = coords(prop_fields)
+            z = jnp.zeros_like(u1)
+            fields = full_fields(u1, z, z, control, prop_fields)
+
+            local_c, axes_c = R.gather_cell_locals(fields)
+            Xe_c = X[cells]
+
+            def cell_fn(u1_e, Xe, local):
+                loc = dict(local)
+                loc["state/u1"] = u1_e
+                loc["state/v1"] = jnp.zeros_like(u1_e)
+                loc["state/a1"] = jnp.zeros_like(u1_e)
+                return cell_elem(Xe, loc)
+
+            nv = cells.shape[1]
+            nld = nv * dim
+            Jc = jax.vmap(jax.jacfwd(cell_fn), in_axes=(0, 0, axes_c))(
+                u1[cells], Xe_c, local_c
+            ).reshape(-1, nld, nld)
+            A = assembly.scatter_dense_jacobian(Jc, cell_dofs, ndof)
+
+            if has_facets:
+                local_f, axes_f = R.gather_facet_locals(fields)
+                cell_verts = cells[fcells]
+                Xe_f = X[cell_verts]
+
+                def facet_fn(u1_e, Xe, floc, fopp, local):
+                    loc = dict(local)
+                    loc["state/u1"] = u1_e
+                    loc["state/v1"] = jnp.zeros_like(u1_e)
+                    loc["state/a1"] = jnp.zeros_like(u1_e)
+                    if has_contact:
+                        n = loc["prop/ncontact"]
+                        y = loc["prop/ycontact"]
+                        y = y[0] if jnp.ndim(y) > 0 else y
+                        k = loc["prop/kcontact"]
+                        k = k[0] if jnp.ndim(k) > 0 else k
+                        gap = (Xe + u1_e) @ n - y
+                        loc["control/tcontact"] = (
+                            -(k * jnp.maximum(gap, 0.0) ** 3)[:, None] * n
+                        )
+                    return facet_elem(Xe, floc, fopp, loc)
+
+                Jf = jax.vmap(
+                    jax.jacfwd(facet_fn), in_axes=(0, 0, 0, 0, axes_f)
+                )(
+                    u1[cell_verts], Xe_f, topo.facet_floc, topo.facet_fopp,
+                    local_f,
+                ).reshape(-1, nld, nld)
+                A = assembly.scatter_dense_jacobian(Jf, facet_cell_dofs, ndof, A)
+
+            return assembly.apply_dirichlet_rows(A, bc_dofs)
+
+        self.jac_u_static_dense = jac_u_static_dense
+
+        @partial(jax.custom_vjp, nondiff_argnums=(3,))
+        def solve_static_u1(u_guess, control, prop, params):
+            def assem(u1):
+                return res_u_static(u1, control, prop)
+
+            def solve_jac(u1, r):
+                A = jac_u_static_dense(u1, control, prop)
+                return linalg.dense_solve(A, r)
+
+            return newton_solve(u_guess, assem, solve_jac, dict(params))
+
+        def solve_static_fwd(u_guess, control, prop, params):
+            u1, info = solve_static_u1(u_guess, control, prop, params)
+            return (u1, info), (u1, control, prop)
+
+        def solve_static_bwd(params, saved, cotangents):
+            u1, control, prop = saved
+            u1_bar, _ = cotangents
+            A = jac_u_static_dense(u1, control, prop)
+            lam = linalg.dense_solve_transpose(A, u1_bar)
+            _, vjp = jax.vjp(
+                lambda c, p: res_u_static(u1, c, p), control, prop
+            )
+            g_control, g_prop = vjp(-lam)
+            return (jnp.zeros_like(u1), g_control, g_prop)
+
+        solve_static_u1.defvjp(solve_static_fwd, solve_static_bwd)
+        self.solve_static_u1 = solve_static_u1
 
         # ---- Full transient residual (u, v, a blocks) ----
         def res_transient(state1, state0, control, prop, dt):
@@ -406,6 +553,12 @@ class SolidModel(BaseTransientModel):
     # -- Reference-compatible OO methods --------------------------------------
     def _np_state(self, b: bv.BlockVector) -> dict:
         return {k: jnp.asarray(v) for k, v in b.sub_items()}
+
+    def control_to_dict(self, control: bv.BlockVector) -> dict:
+        return {"p1": jnp.asarray(control["p"])}
+
+    def prop_to_dict(self, prop: bv.BlockVector) -> dict:
+        return {k: jnp.asarray(v) for k, v in prop.sub_items()}
 
     def assem_res(self) -> bv.BlockVector:
         state1 = self._np_state(self.state1)
@@ -480,6 +633,27 @@ class FluidModel(BaseTransientModel):
             return {k: zero[k] - r[k] for k in zero}
 
         self.solve_pure = solve_pure
+
+        def step_pure(state1_guess, state0, control, prop, dt,
+                      params=None):
+            from ..solvers.newton import SolveInfo
+
+            out = solve_pure(control, prop, state0)
+            info = SolveInfo(
+                num_iter=jnp.array(0),
+                abs_err=jnp.array(0.0),
+                rel_err=jnp.array(0.0),
+            )
+            return out, info
+
+        self.step_pure = step_pure
+        self.step_pure_fwd = step_pure
+
+    def control_to_dict(self, control):
+        return {k: jnp.asarray(v) for k, v in control.sub_items()}
+
+    def prop_to_dict(self, prop):
+        return {k: jnp.asarray(v) for k, v in prop.sub_items()}
 
     @property
     def residual(self) -> JaxResidual:
@@ -633,6 +807,12 @@ class BaseTransientFSIModel(BaseTransientModel):
         prop = {k: jnp.asarray(v) for k, v in self.prop.sub_items()}
         return state0, control, prop
 
+    def control_to_dict(self, control: bv.BlockVector) -> dict:
+        return {k: jnp.asarray(v) for k, v in control.sub_items()}
+
+    def prop_to_dict(self, prop: bv.BlockVector) -> dict:
+        return {k: jnp.asarray(v) for k, v in prop.sub_items()}
+
     def solve_state1(self, state1, options: Optional[dict] = None):
         params = _params_key(options)
         state0, control, prop = self._pytree_args()
@@ -688,6 +868,24 @@ class ExplicitFSIModel(BaseTransientFSIModel):
             return {**uva1, **qp1}, info
 
         self.step_pure = step_pure
+
+        def step_pure_fwd(state1_guess, state0, control, prop, dt,
+                          params=_params_key(None)):
+            sl_prop, fl_prop = self._split_prop(prop)
+            p_solid = self._pressure_to_solid(state0["p"])
+            sl_state0 = {k: state0[k] for k in ("u", "v", "a")}
+            sl_guess = {k: state1_guess[k] for k in ("u", "v", "a")}
+            uva1, info = solid.solve_state1_pure_fwd(
+                sl_guess, sl_state0, {"p1": p_solid}, sl_prop, dt, params
+            )
+            area = self._area_from_u1(uva1["u"], prop)
+            fl_control = {"area": area, **{k: control[k] for k in control}}
+            qp1 = fluid.solve_pure(
+                fl_control, fl_prop, {"q": state0["q"], "p": state0["p"]}
+            )
+            return {**uva1, **qp1}, info
+
+        self.step_pure_fwd = step_pure_fwd
 
         def res_pure(state1, state0, control, prop, dt):
             sl_prop, fl_prop = self._split_prop(prop)
