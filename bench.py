@@ -1,0 +1,164 @@
+"""
+Benchmark: forward coupled-FSI timesteps/sec on the M5-scale vocal-fold mesh.
+
+Workload mirrors the reference benchmark harness
+(reference: ``benchmarks/benchmark_forward.py:24-39`` + ``setup.py:12-49``):
+100 steps at dt=1e-4 of an explicit KelvinVoigtWEpithelium solid +
+BernoulliAreaRatioSep fluid at psub = 8000 Ba, emod = 5e4, eta = 3,
+kcontact = 1e8 — but run as one jitted ``lax.scan`` on the accelerator.
+
+``vs_baseline`` is the speedup over the same workload executed on this
+host's CPU backend (the available stand-in for the reference's
+FEniCS+PETSc-CPU stack, which is not installed here — the reference
+publishes no numbers, see BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+N_STEPS = 100
+DT = 1e-4
+REPEATS = 5
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def build(backend_f64: bool):
+    # TPU has no f64 LU; run f32 there with matched Newton tolerances.
+    # (vf_fem_tpu.config reads VF_FEM_TPU_X64 at first import, so set it
+    # before importing and pin the jax flag after.)
+    import os
+
+    os.environ["VF_FEM_TPU_X64"] = "1" if backend_f64 else "0"
+    jax.config.update("jax_enable_x64", backend_f64)
+    import vf_fem_tpu  # noqa: F401
+
+    jax.config.update("jax_enable_x64", backend_f64)
+    from vf_fem_tpu.load import load_fsi_model
+    from vf_fem_tpu.mesh import vocal_fold_mesh
+    from vf_fem_tpu.residuals import fluid as flr, solid as slr
+
+    mesh = vocal_fold_mesh(24, 12)
+    ymax = mesh.coords[:, 1].max()
+    model = load_fsi_model(
+        mesh,
+        slr.KelvinVoigtWEpithelium,
+        flr.BernoulliAreaRatioSep,
+        coupling="explicit",
+    )
+    prop = model.prop
+    prop["emod"][:] = 5e4
+    prop["rho"][:] = 1.0
+    prop["eta"][:] = 3.0
+    prop["nu"][:] = 0.45
+    prop["emod_membrane"][:] = 0.0
+    prop["nu_membrane"][:] = 0.3
+    prop["th_membrane"][:] = 0.0
+    prop["ycontact"][:] = ymax + 0.05
+    prop["kcontact"][:] = 1e8
+    prop["rho_air"][:] = 1.1225e-3
+    prop["r_sep"][:] = 1.0
+    prop["area_lb"][:] = 1e-4
+    prop["ymid"][:] = ymax + 0.01
+    model.set_prop(prop)
+    control = model.control
+    control["psub"][:] = 8000.0
+    control["psup"][:] = 0.0
+    model.set_control(control)
+    return model
+
+
+def run_device(model, device, tolerances):
+    import jax.numpy as jnp
+
+    from vf_fem_tpu import forward
+
+    state0 = {
+        k: jax.device_put(jnp.zeros_like(jnp.asarray(v)), device)
+        for k, v in model.state0.sub_items()
+    }
+    controls = forward._stack_controls(model, [model.control])
+    controls = jax.device_put(controls, device)
+    prop = jax.device_put(model.prop_to_dict(model.prop), device)
+    times = jax.device_put(jnp.asarray(DT * np.arange(N_STEPS + 1)), device)
+
+    def once():
+        fin, traj, infos = forward.integrate_pure(
+            model, state0, controls, prop, times, tolerances
+        )
+        jax.tree_util.tree_map(lambda a: a.block_until_ready(), fin)
+        return fin, infos
+
+    # warmup/compile
+    t0 = time.perf_counter()
+    fin, infos = once()
+    compile_time = time.perf_counter() - t0
+
+    best = np.inf
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        fin, infos = once()
+        best = min(best, time.perf_counter() - t0)
+    tps = N_STEPS / best
+    return tps, compile_time, fin, infos
+
+
+def main():
+    default = jax.devices()[0]
+    on_accel = default.platform not in ("cpu",)
+    f64 = not on_accel
+    tolerances = (
+        None
+        if f64
+        else {"absolute_tolerance": 1e-3, "relative_tolerance": 1e-5}
+    )
+
+    model = build(f64)
+    log(f"device: {default}, ndof={model.solid.ndof}, f64={f64}")
+
+    tps_dev, ct_dev, fin_dev, infos_dev = run_device(model, default, tolerances)
+    log(
+        f"{default.platform}: {tps_dev:.1f} steps/s"
+        f" (compile {ct_dev:.1f}s, max_iter"
+        f" {int(np.asarray(infos_dev.num_iter).max())})"
+    )
+
+    # CPU baseline (PETSc-CPU stand-in), same precision & workload
+    vs_baseline = 1.0
+    if on_accel:
+        cpu = jax.devices("cpu")[0]
+        tps_cpu, ct_cpu, fin_cpu, _ = run_device(model, cpu, tolerances)
+        log(f"cpu: {tps_cpu:.1f} steps/s (compile {ct_cpu:.1f}s)")
+        vs_baseline = tps_dev / tps_cpu
+        # sanity: device and CPU trajectories agree
+        du = np.abs(
+            np.asarray(fin_dev["u"]) - np.asarray(fin_cpu["u"])
+        ).max()
+        log(f"max |u_dev - u_cpu| = {du:.3e}")
+
+    print(
+        json.dumps(
+            {
+                "metric": "forward FSI timesteps/sec, M5-scale mesh "
+                "(KelvinVoigtWEpithelium + BernoulliAreaRatioSep, explicit)",
+                "value": round(tps_dev, 2),
+                "unit": "steps/s",
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

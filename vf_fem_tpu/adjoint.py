@@ -48,7 +48,7 @@ def integrate_grad(
     ``times`` — the same sensitivity set as the reference's
     ``adjoint.integrate_grad`` (reference: ``adjoint.py:96-131``).
     """
-    state0 = {k: jnp.asarray(v) for k, v in ini_state.sub_items()}
+    state0 = {k: np.asarray(v) for k, v in ini_state.sub_items()}
     controls_stacked = _stack_controls(model, controls)
     prop_d = model.prop_to_dict(prop)
     times_j = jnp.asarray(np.asarray(times, dtype=float))

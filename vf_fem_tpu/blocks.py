@@ -289,3 +289,130 @@ def dot(a: BlockVector, b: BlockVector) -> float:
 
 def norm(a: BlockVector) -> float:
     return a.norm()
+
+
+class BlockMatrix:
+    """
+    A labeled 2D grid of dense numpy sub-matrices.
+
+    Minimal stand-in for ``blockarray.blockmat.BlockMatrix`` (API inferred
+    from reference call sites, SURVEY section 2.11): used by the dynamical
+    models' block Jacobians and by analysis scripts, not by the hot compute
+    path (which is pure pytrees).
+    """
+
+    def __init__(self, mats, shape=None, labels=None):
+        # mats: nested lists [[...]] or flat list + shape
+        if shape is None:
+            rows = len(mats)
+            cols = len(mats[0])
+            grid = [list(r) for r in mats]
+        else:
+            rows, cols = shape
+            if isinstance(mats[0], (list, tuple)):
+                grid = [list(r) for r in mats]
+            else:
+                grid = [
+                    [mats[i * cols + j] for j in range(cols)]
+                    for i in range(rows)
+                ]
+        self._grid = [[np.asarray(m) for m in r] for r in grid]
+        if labels is None:
+            labels = (
+                tuple(str(i) for i in range(rows)),
+                tuple(str(j) for j in range(cols)),
+            )
+        self._row_keys = tuple(labels[0])
+        self._col_keys = tuple(labels[1])
+
+    @property
+    def labels(self):
+        return (self._row_keys, self._col_keys)
+
+    @property
+    def shape(self):
+        return (len(self._row_keys), len(self._col_keys))
+
+    @property
+    def bshape(self):
+        return (
+            tuple(r[0].shape[0] for r in self._grid),
+            tuple(m.shape[1] for m in self._grid[0]),
+        )
+
+    def _idx(self, keys, key):
+        if isinstance(key, (int, np.integer)):
+            return int(key)
+        return keys.index(key)
+
+    def __getitem__(self, key):
+        i, j = key
+        return self._grid[self._idx(self._row_keys, i)][
+            self._idx(self._col_keys, j)
+        ]
+
+    def __setitem__(self, key, value):
+        i, j = key
+        self._grid[self._idx(self._row_keys, i)][
+            self._idx(self._col_keys, j)
+        ] = np.asarray(value)
+
+    @property
+    def sub(self):
+        return self
+
+    def to_mono_ndarray(self) -> np.ndarray:
+        return np.block(self._grid)
+
+    def mult_vec(self, bvec: BlockVector) -> BlockVector:
+        out = []
+        for i, rk in enumerate(self._row_keys):
+            acc = None
+            for j, ck in enumerate(self._col_keys):
+                y = self._grid[i][j] @ np.asarray(bvec[j]).reshape(-1)
+                acc = y if acc is None else acc + y
+            out.append(acc)
+        return BlockVector(out, labels=[self._row_keys])
+
+    def transpose(self) -> "BlockMatrix":
+        grid = [
+            [self._grid[i][j].T for i in range(len(self._row_keys))]
+            for j in range(len(self._col_keys))
+        ]
+        return BlockMatrix(grid, labels=(self._col_keys, self._row_keys))
+
+
+def concatenate_mat(bmats) -> BlockMatrix:
+    """Concatenate a 2D grid of BlockMatrices (reference: ``bm.concatenate``)."""
+    row_keys, col_keys = [], []
+    for brow in bmats:
+        row_keys.extend(brow[0].labels[0])
+    for b in bmats[0]:
+        col_keys.extend(b.labels[1])
+    grid = []
+    for brow in bmats:
+        for i in range(len(brow[0].labels[0])):
+            row = []
+            for b in brow:
+                row.extend(b._grid[i])
+            grid.append(row)
+    return BlockMatrix(grid, labels=(tuple(row_keys), tuple(col_keys)))
+
+
+def mult_mat_vec(bmat: BlockMatrix, bvec: BlockVector) -> BlockVector:
+    return bmat.mult_vec(bvec)
+
+
+def mult_mat_mat(a: BlockMatrix, b: BlockMatrix) -> BlockMatrix:
+    rows, inner, cols = len(a.labels[0]), len(a.labels[1]), len(b.labels[1])
+    grid = []
+    for i in range(rows):
+        row = []
+        for j in range(cols):
+            acc = None
+            for k in range(inner):
+                y = a._grid[i][k] @ b._grid[k][j]
+                acc = y if acc is None else acc + y
+            row.append(acc)
+        grid.append(row)
+    return BlockMatrix(grid, labels=(a.labels[0], b.labels[1]))

@@ -32,6 +32,14 @@ ENABLE_X64: bool = _env_flag("VF_FEM_TPU_X64", True)
 if ENABLE_X64:
     jax.config.update("jax_enable_x64", True)
 
+# FEM residuals mix mass terms ~1/(beta dt^2) with O(1) traction terms, so
+# matmul rounding is immediately visible as Newton stagnation.  On TPU the
+# default f32 matmul precision uses bf16 MXU passes (~1e-3 relative error);
+# force full-f32 matmuls.  The element matrices are tiny, so the cost is
+# negligible.  Override with VF_FEM_TPU_MATMUL_PRECISION if desired.
+_PRECISION = os.environ.get("VF_FEM_TPU_MATMUL_PRECISION", "highest")
+jax.config.update("jax_default_matmul_precision", _PRECISION)
+
 
 def real_dtype():
     """Return the working real dtype."""

@@ -31,7 +31,13 @@ from .forms import CellGeom, FacetGeom
 
 
 class Topology(NamedTuple):
-    """Static index arrays shipped to the device once."""
+    """Static index arrays shipped to the device once.
+
+    Facet-local structure is expressed as one-hot selector matrices
+    (``facet_sel``/``facet_opp_sel``) rather than integer index arrays:
+    inside kernels these become tiny matmuls, avoiding per-element dynamic
+    gathers (slow and, fused, miscompiled on some TPU toolchains).
+    """
 
     dim: int
     n_vertices: int
@@ -41,6 +47,8 @@ class Topology(NamedTuple):
     facet_cells: jnp.ndarray  # (nf,) adjacent cell index
     facet_floc: jnp.ndarray  # (nf, dim) local facet-vertex indices in the cell
     facet_fopp: jnp.ndarray  # (nf,) local index of the opposite vertex
+    facet_sel: jnp.ndarray  # (nf, nv, dimf) one-hot facet-vertex selectors
+    facet_opp_sel: jnp.ndarray  # (nf, nv) one-hot opposite-vertex selector
     # Quadrature tables
     cell_bary: jnp.ndarray
     cell_qw: jnp.ndarray
@@ -68,20 +76,35 @@ def build_topology(
         cell_verts[:, None, :] == facet_verts[:, :, None], axis=-1
     ).astype(np.int32)
 
+    nv = dim + 1
+    nf = len(marked)
+    facet_sel = np.zeros((nf, nv, dim))
+    facet_opp_sel = np.zeros((nf, nv))
+    rows = np.arange(nf)
+    for q in range(dim):
+        facet_sel[rows, floc[:, q], q] = 1.0
+    facet_opp_sel[rows, fopp] = 1.0
+
     cb, cw = elements.cell_quadrature(dim)
     fb, fw = elements.facet_quadrature(dim)
+    # NOTE: all index/quadrature tables stay as *numpy* arrays: they are
+    # embedded as constants at trace time.  Creating device arrays here
+    # would issue eager ops, which are pathologically slow on remote TPU
+    # backends (~1 s/op through the axon tunnel).
     return Topology(
         dim=dim,
         n_vertices=mesh.num_vertices,
         n_cells=cells.shape[0],
-        cells=jnp.asarray(cells),
-        facet_cells=jnp.asarray(fcell),
-        facet_floc=jnp.asarray(floc),
-        facet_fopp=jnp.asarray(fopp),
-        cell_bary=jnp.asarray(cb),
-        cell_qw=jnp.asarray(cw),
-        facet_bary=jnp.asarray(fb),
-        facet_qw=jnp.asarray(fw),
+        cells=np.asarray(cells),
+        facet_cells=np.asarray(fcell),
+        facet_floc=np.asarray(floc),
+        facet_fopp=np.asarray(fopp),
+        facet_sel=facet_sel,
+        facet_opp_sel=facet_opp_sel,
+        cell_bary=np.asarray(cb),
+        cell_qw=np.asarray(cw),
+        facet_bary=np.asarray(fb),
+        facet_qw=np.asarray(fw),
     )
 
 
@@ -91,11 +114,11 @@ def make_cell_geom(X_e: jnp.ndarray, topo: Topology) -> CellGeom:
 
 
 def make_facet_geom(
-    X_e: jnp.ndarray, floc: jnp.ndarray, fopp: jnp.ndarray, topo: Topology
+    X_e: jnp.ndarray, sel: jnp.ndarray, opp_sel: jnp.ndarray, topo: Topology
 ) -> FacetGeom:
     grads, _ = elements.cell_shape_gradients(X_e)
-    Xf = X_e[floc]
-    X_opp = X_e[fopp]
+    Xf = sel.T @ X_e  # (dimf, dim) facet vertex coordinates
+    X_opp = opp_sel @ X_e  # (dim,) opposite vertex
     meas, normal = elements.facet_measure_normal(Xf, X_opp)
     return FacetGeom(
         X=X_e,
@@ -104,7 +127,7 @@ def make_facet_geom(
         normal=normal,
         fbary=topo.facet_bary,
         fqw=topo.facet_qw,
-        floc=floc,
+        sel=sel,
     )
 
 

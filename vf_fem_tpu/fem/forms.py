@@ -80,13 +80,24 @@ class CellGeom(NamedTuple):
 
 
 class FacetGeom(NamedTuple):
+    """
+    Facet geometry bound to its adjacent cell.
+
+    Facet-local selection is done with the static one-hot matrix ``sel``
+    (nv, dimf) rather than integer indices: ``sel.T @ cell_nodal`` restricts
+    cell nodal values to the facet and ``sel @ facet_nodal`` scatters facet
+    contributions back — tiny matmuls instead of per-element dynamic
+    gathers, which both maps onto the MXU and avoids XLA/TPU issues with
+    fused dynamic-index patterns.
+    """
+
     X: jnp.ndarray  # (nv, dim) adjacent-cell vertex coords
     grads: jnp.ndarray  # (nv, dim) adjacent-cell shape gradients
     meas: jnp.ndarray  # () facet measure (length/area)
     normal: jnp.ndarray  # (dim,) outward unit facet normal (reference config)
-    fbary: jnp.ndarray  # (nq, dim) facet quadrature barycentric coords
+    fbary: jnp.ndarray  # (nq, dimf) facet quadrature barycentric coords
     fqw: jnp.ndarray  # (nq,) facet quadrature weights
-    floc: jnp.ndarray  # (dim,) local indices of facet vertices in the cell
+    sel: jnp.ndarray  # (nv, dimf) one-hot facet-vertex selector
 
 
 def grad_field(field_e: jnp.ndarray, grads: jnp.ndarray) -> jnp.ndarray:
@@ -107,10 +118,8 @@ def _force_residual(f_q: jnp.ndarray, geom: CellGeom) -> jnp.ndarray:
 
 def _facet_force_residual(t_q, geom: FacetGeom, nv: int) -> jnp.ndarray:
     """Scatter a facet traction integral to cell-local node contributions."""
-    dim = geom.X.shape[-1]
     res_f = geom.meas * geom.fbary.T @ (geom.fqw[:, None] * t_q)  # (dimf, dim)
-    out = jnp.zeros((nv, dim), dtype=res_f.dtype)
-    return out.at[geom.floc].add(res_f)
+    return geom.sel @ res_f
 
 
 def _pk2_residual(S: jnp.ndarray, F: jnp.ndarray, geom: CellGeom) -> jnp.ndarray:
@@ -343,7 +352,7 @@ class SurfacePressureForm(BaseForm):
         nv = u_e.shape[0]
         grad_u = grad_field(u_e, geom.grads)
         pn = pullback_area_normal(grad_u, geom.normal)  # (dim,)
-        p_f = local["control/p1"][geom.floc]  # (dimf,)
+        p_f = geom.sel.T @ local["control/p1"]  # (dimf,)
         p_q = geom.fbary @ p_f  # (nq,)
         t_q = -p_q[:, None] * pn[None, :]
         return _facet_force_residual(t_q, geom, nv)
@@ -369,7 +378,7 @@ class ManualSurfaceContactTractionForm(BaseForm):
     def facet_kernel(self, geom: FacetGeom, local):
         tc_e = local["control/tcontact"]
         nv = tc_e.shape[0]
-        t_q = geom.fbary @ tc_e[geom.floc]
+        t_q = geom.fbary @ (geom.sel.T @ tc_e)
         return _facet_force_residual(t_q, geom, nv)
 
 
@@ -394,7 +403,12 @@ class IsotropicMembraneForm(BaseForm):
         emod = local["prop/emod_membrane"]
         mu = emod / 2 / (1 + nu)
         lmbda = emod * nu / (1 + nu) / (1 - 2 * nu)
-        lmbda_pp = jnp.where(emod == 0, 0.0, 2 * mu * lmbda / (lmbda + 2 * mu))
+        # plane-stress lambda, guarding the 0/0 at emod = 0
+        # (reference: ``form.py:848-850``).  NOTE: the unselected branch must
+        # not produce NaN — XLA TPU may rewrite select into arithmetic under
+        # fused fast-math, leaking NaN*0; hence the guarded denominator.
+        denom = jnp.where(emod == 0, 1.0, lmbda + 2 * mu)
+        lmbda_pp = jnp.where(emod == 0, 0.0, 2 * mu * lmbda / denom)
         return 2 * mu * eps_pp + lmbda_pp * jnp.trace(eps_pp) * P
 
     def facet_kernel(self, geom: FacetGeom, local):

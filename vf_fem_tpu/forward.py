@@ -30,7 +30,8 @@ def _stack_controls(model, controls) -> dict:
     """Stack a list of control BlockVectors into a leading-axis pytree."""
     dicts = [model.control_to_dict(c) for c in controls]
     return {
-        k: jnp.stack([d[k] for d in dicts], axis=0) for k in dicts[0]
+        k: np.stack([np.asarray(d[k]) for d in dicts], axis=0)
+        for k in dicts[0]
     }
 
 
@@ -148,7 +149,7 @@ def integrate(
     times = validate_times(times)
 
     model.set_prop(prop)
-    state0 = {k: jnp.asarray(v) for k, v in ini_state.sub_items()}
+    state0 = {k: np.asarray(v) for k, v in ini_state.sub_items()}
     controls_stacked = _stack_controls(model, controls)
     prop_d = model.prop_to_dict(prop)
 
@@ -226,7 +227,7 @@ def integrate_extend(
     times = np.asarray(times) + ini_time
 
     model.set_prop(prop)
-    state0 = {k: jnp.asarray(v) for k, v in ini_state.sub_items()}
+    state0 = {k: np.asarray(v) for k, v in ini_state.sub_items()}
     controls_stacked = _stack_controls(model, controls)
     prop_d = model.prop_to_dict(prop)
 
@@ -297,12 +298,12 @@ def integrate_linear(
     n_ctrl_rows = f.root_group["control"][list(model.control.keys())[0]].shape[0]
     controls = [f.get_control(n) for n in range(min(n_ctrl_rows, f.size))]
 
-    state0 = {k: jnp.asarray(v) for k, v in ini_state.sub_items()}
+    state0 = {k: np.asarray(v) for k, v in ini_state.sub_items()}
     controls_stacked = _stack_controls(model, controls)
     prop_d = model.prop_to_dict(prop)
     times_j = jnp.asarray(times)
 
-    dstate0 = {k: jnp.asarray(v) for k, v in dini_state.sub_items()}
+    dstate0 = {k: np.asarray(v) for k, v in dini_state.sub_items()}
     dcontrols_stacked = _stack_controls(model, dcontrols)
     # pad/truncate tangent controls to match primal stacking
     dcontrols_stacked = {

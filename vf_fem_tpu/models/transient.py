@@ -131,14 +131,14 @@ class SolidModel(BaseTransientModel):
 
         # Static assembly data
         topo = residual.topology
-        self._cell_dofs = jnp.asarray(
-            assembly.cell_dof_array(np.asarray(topo.cells), self.dim)
+        self._cell_dofs = assembly.cell_dof_array(
+            np.asarray(topo.cells), self.dim
         )
         fcells = np.asarray(topo.facet_cells)
-        self._facet_cell_dofs = jnp.asarray(
-            assembly.cell_dof_array(np.asarray(topo.cells)[fcells], self.dim)
+        self._facet_cell_dofs = assembly.cell_dof_array(
+            np.asarray(topo.cells)[fcells], self.dim
         )
-        self._Xref = jnp.asarray(residual.ref_mesh_coords)
+        self._Xref = np.asarray(residual.ref_mesh_coords)
 
         self._build_pure_fns()
 
@@ -299,7 +299,7 @@ class SolidModel(BaseTransientModel):
                 Xe_f = X[cell_verts]
                 s0_f = (u0[cell_verts], v0[cell_verts], a0[cell_verts])
 
-                def facet_fn(u1_e, Xe, floc, fopp, s0_e, local):
+                def facet_fn(u1_e, Xe, sel, opp_sel, s0_e, local):
                     u0_e, v0_e, a0_e = s0_e
                     v1_e = newmark.newmark_v(u1_e, u0_e, v0_e, a0_e, dt)
                     a1_e = newmark.newmark_a(u1_e, u0_e, v0_e, a0_e, dt)
@@ -317,15 +317,15 @@ class SolidModel(BaseTransientModel):
                         loc["control/tcontact"] = (
                             -(k * jnp.maximum(gap, 0.0) ** 3)[:, None] * n
                         )
-                    return facet_elem(Xe, floc, fopp, loc)
+                    return facet_elem(Xe, sel, opp_sel, loc)
 
                 Jf = jax.vmap(
                     jax.jacfwd(facet_fn), in_axes=(0, 0, 0, 0, 0, axes_f)
                 )(
                     u1[cell_verts],
                     Xe_f,
-                    topo.facet_floc,
-                    topo.facet_fopp,
+                    topo.facet_sel,
+                    topo.facet_opp_sel,
                     s0_f,
                     local_f,
                 ).reshape(-1, nld, nld)
@@ -477,7 +477,7 @@ class SolidModel(BaseTransientModel):
                 cell_verts = cells[fcells]
                 Xe_f = X[cell_verts]
 
-                def facet_fn(u1_e, Xe, floc, fopp, local):
+                def facet_fn(u1_e, Xe, sel, opp_sel, local):
                     loc = dict(local)
                     loc["state/u1"] = u1_e
                     loc["state/v1"] = jnp.zeros_like(u1_e)
@@ -492,12 +492,12 @@ class SolidModel(BaseTransientModel):
                         loc["control/tcontact"] = (
                             -(k * jnp.maximum(gap, 0.0) ** 3)[:, None] * n
                         )
-                    return facet_elem(Xe, floc, fopp, loc)
+                    return facet_elem(Xe, sel, opp_sel, loc)
 
                 Jf = jax.vmap(
                     jax.jacfwd(facet_fn), in_axes=(0, 0, 0, 0, axes_f)
                 )(
-                    u1[cell_verts], Xe_f, topo.facet_floc, topo.facet_fopp,
+                    u1[cell_verts], Xe_f, topo.facet_sel, topo.facet_opp_sel,
                     local_f,
                 ).reshape(-1, nld, nld)
                 A = assembly.scatter_dense_jacobian(Jf, facet_cell_dofs, ndof, A)
@@ -552,34 +552,40 @@ class SolidModel(BaseTransientModel):
 
     # -- Reference-compatible OO methods --------------------------------------
     def _np_state(self, b: bv.BlockVector) -> dict:
-        return {k: jnp.asarray(v) for k, v in b.sub_items()}
+        return {k: np.asarray(v) for k, v in b.sub_items()}
 
     def control_to_dict(self, control: bv.BlockVector) -> dict:
-        return {"p1": jnp.asarray(control["p"])}
+        return {"p1": np.asarray(control["p"])}
 
     def prop_to_dict(self, prop: bv.BlockVector) -> dict:
-        return {k: jnp.asarray(v) for k, v in prop.sub_items()}
+        return {k: np.asarray(v) for k, v in prop.sub_items()}
 
     def assem_res(self) -> bv.BlockVector:
         state1 = self._np_state(self.state1)
         state0 = self._np_state(self.state0)
-        control = {"p1": jnp.asarray(self.control["p"])}
-        prop = {k: jnp.asarray(v) for k, v in self.prop.sub_items()}
-        res = self.res_transient(state1, state0, control, prop, self._dt)
+        control = {"p1": np.asarray(self.control["p"])}
+        prop = {k: np.asarray(v) for k, v in self.prop.sub_items()}
+        res_fn = self._jitted("res_transient", self.res_transient)
+        res = res_fn(state1, state0, control, prop, self._dt)
         return bv.BlockVector(
             [np.asarray(res[k]) for k in ("u", "v", "a")],
             labels=[("u", "v", "a")],
         )
 
+    def _jitted(self, name, fn, static_argnums=()):
+        cache = self.__dict__.setdefault("_jit_cache", {})
+        if name not in cache:
+            cache[name] = jax.jit(fn, static_argnums=static_argnums)
+        return cache[name]
+
     def solve_state1(self, state1, options: Optional[dict] = None):
         params = _params_key(options)
-        guess = {k: jnp.asarray(v) for k, v in state1.sub_items()}
+        guess = {k: np.asarray(v) for k, v in state1.sub_items()}
         state0 = self._np_state(self.state0)
-        control = {"p1": jnp.asarray(self.control["p"])}
-        prop = {k: jnp.asarray(v) for k, v in self.prop.sub_items()}
-        out, info = self.solve_state1_pure(
-            guess, state0, control, prop, self._dt, params
-        )
+        control = {"p1": np.asarray(self.control["p"])}
+        prop = {k: np.asarray(v) for k, v in self.prop.sub_items()}
+        solve = self._jitted("solve_state1", self.solve_state1_pure, (5,))
+        out, info = solve(guess, state0, control, prop, self._dt, params)
         result = bv.BlockVector(
             [np.asarray(out[k]) for k in ("u", "v", "a")],
             labels=[("u", "v", "a")],
@@ -650,10 +656,10 @@ class FluidModel(BaseTransientModel):
         self.step_pure_fwd = step_pure
 
     def control_to_dict(self, control):
-        return {k: jnp.asarray(v) for k, v in control.sub_items()}
+        return {k: np.asarray(v) for k, v in control.sub_items()}
 
     def prop_to_dict(self, prop):
-        return {k: jnp.asarray(v) for k, v in prop.sub_items()}
+        return {k: np.asarray(v) for k, v in prop.sub_items()}
 
     @property
     def residual(self) -> JaxResidual:
@@ -684,17 +690,17 @@ class FluidModel(BaseTransientModel):
         self.prop[:] = prop
 
     def assem_res(self) -> bv.BlockVector:
-        state = {k: jnp.asarray(v) for k, v in self.state1.sub_items()}
-        control = {k: jnp.asarray(v) for k, v in self.control.sub_items()}
-        prop = {k: jnp.asarray(v) for k, v in self.prop.sub_items()}
+        state = {k: np.asarray(v) for k, v in self.state1.sub_items()}
+        control = {k: np.asarray(v) for k, v in self.control.sub_items()}
+        prop = {k: np.asarray(v) for k, v in self.prop.sub_items()}
         r = self.res_pure(state, control, prop)
         keys = list(self.state1.keys())
         return bv.BlockVector([np.asarray(r[k]) for k in keys], labels=[keys])
 
     def solve_state1(self, state1, options=None):
-        control = {k: jnp.asarray(v) for k, v in self.control.sub_items()}
-        prop = {k: jnp.asarray(v) for k, v in self.prop.sub_items()}
-        proto = {k: jnp.asarray(v) for k, v in self.state1.sub_items()}
+        control = {k: np.asarray(v) for k, v in self.control.sub_items()}
+        prop = {k: np.asarray(v) for k, v in self.prop.sub_items()}
+        proto = {k: np.asarray(v) for k, v in self.state1.sub_items()}
         out = self.solve_pure(control, prop, proto)
         keys = list(self.state1.keys())
         return (
@@ -738,8 +744,8 @@ class BaseTransientFSIModel(BaseTransientModel):
         self.fsimap = FSIMap(
             n_fl_p, solid.nvert, fluid_fsi_dofs, solid_fsi_dofs
         )
-        self._solid_dofs = jnp.asarray(solid_fsi_dofs, dtype=jnp.int32)
-        self._fluid_dofs = jnp.asarray(fluid_fsi_dofs, dtype=jnp.int32)
+        self._solid_dofs = np.asarray(solid_fsi_dofs, dtype=np.int32)
+        self._fluid_dofs = np.asarray(fluid_fsi_dofs, dtype=np.int32)
 
         self._solid_prop_keys = list(solid.prop.keys())
         self._fluid_prop_keys = list(fluid.prop.keys())
@@ -802,22 +808,29 @@ class BaseTransientFSIModel(BaseTransientModel):
             self.fluid.prop[k] = self.prop[k]
 
     def _pytree_args(self):
-        state0 = {k: jnp.asarray(v) for k, v in self.state0.sub_items()}
-        control = {k: jnp.asarray(v) for k, v in self.control.sub_items()}
-        prop = {k: jnp.asarray(v) for k, v in self.prop.sub_items()}
+        state0 = {k: np.asarray(v) for k, v in self.state0.sub_items()}
+        control = {k: np.asarray(v) for k, v in self.control.sub_items()}
+        prop = {k: np.asarray(v) for k, v in self.prop.sub_items()}
         return state0, control, prop
 
     def control_to_dict(self, control: bv.BlockVector) -> dict:
-        return {k: jnp.asarray(v) for k, v in control.sub_items()}
+        return {k: np.asarray(v) for k, v in control.sub_items()}
 
     def prop_to_dict(self, prop: bv.BlockVector) -> dict:
-        return {k: jnp.asarray(v) for k, v in prop.sub_items()}
+        return {k: np.asarray(v) for k, v in prop.sub_items()}
+
+    def _jitted(self, name, fn, static_argnums=()):
+        cache = self.__dict__.setdefault("_jit_cache", {})
+        if name not in cache:
+            cache[name] = jax.jit(fn, static_argnums=static_argnums)
+        return cache[name]
 
     def solve_state1(self, state1, options: Optional[dict] = None):
         params = _params_key(options)
         state0, control, prop = self._pytree_args()
-        guess = {k: jnp.asarray(v) for k, v in state1.sub_items()}
-        out, info = self.step_pure(guess, state0, control, prop, self.dt, params)
+        guess = {k: np.asarray(v) for k, v in state1.sub_items()}
+        step = self._jitted("step_pure", self.step_pure, (5,))
+        out, info = step(guess, state0, control, prop, self.dt, params)
         keys = list(self.state1.keys())
         result = bv.BlockVector(
             [np.asarray(out[k]) for k in keys], labels=[keys]
@@ -830,9 +843,10 @@ class BaseTransientFSIModel(BaseTransientModel):
         return result, info_dict
 
     def assem_res(self) -> bv.BlockVector:
-        state1 = {k: jnp.asarray(v) for k, v in self.state1.sub_items()}
+        state1 = {k: np.asarray(v) for k, v in self.state1.sub_items()}
         state0, control, prop = self._pytree_args()
-        r = self.res_pure(state1, state0, control, prop, self.dt)
+        res_fn = self._jitted("res_pure", self.res_pure)
+        r = res_fn(state1, state0, control, prop, self.dt)
         keys = list(self.state1.keys())
         return bv.BlockVector([np.asarray(r[k]) for k in keys], labels=[keys])
 

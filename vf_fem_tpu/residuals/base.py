@@ -85,7 +85,7 @@ class FemResidual:
             self.bc_vertex_mask = np.zeros(mesh.num_vertices, dtype=bool)
         dim = mesh.dim
         bc_verts = np.nonzero(self.bc_vertex_mask)[0]
-        self.bc_dofs = jnp.asarray(
+        self.bc_dofs = np.asarray(
             (bc_verts[:, None] * dim + np.arange(dim)[None, :]).reshape(-1),
             dtype=np.int32,
         )
@@ -163,8 +163,8 @@ class FemResidual:
         topo = self.topology
         facet_forms = self._facet_forms
 
-        def facet_elem(Xe, floc, fopp, local):
-            geom = assembly.make_facet_geom(Xe, floc, fopp, topo)
+        def facet_elem(Xe, sel, opp_sel, local):
+            geom = assembly.make_facet_geom(Xe, sel, opp_sel, topo)
             res = None
             for sign, form in facet_forms:
                 r = sign * form.facet_kernel(geom, local)
@@ -235,10 +235,203 @@ class FemResidual:
             cell_verts = topo.cells[topo.facet_cells]
             Xf = X[cell_verts]
             res_f = jax.vmap(facet_elem, in_axes=(0, 0, 0, faxes))(
-                Xf, topo.facet_floc, topo.facet_fopp, flocal
+                Xf, topo.facet_sel, topo.facet_opp_sel, flocal
             )
             res = res + assembly.scatter_add(res_f, cell_verts, mesh.num_vertices)
         return res
+
+
+    # -- Generic dense Jacobians ------------------------------------------
+    def _wrt_cols(self, wrt_key: str):
+        """Global column count and per-element column index arrays."""
+        spec = self.coefficient_spec[wrt_key]
+        mesh = self._mesh
+        dim = mesh.dim
+        topo = self.topology
+        cells = np.asarray(topo.cells)
+        fcells = np.asarray(topo.facet_cells)
+        if spec.space == "cg1_vector":
+            ncols = mesh.num_vertices * dim
+            cdofs = assembly.cell_dof_array(cells, dim)
+            fdofs = assembly.cell_dof_array(cells[fcells], dim)
+        elif spec.space == "cg1_scalar":
+            ncols = mesh.num_vertices
+            cdofs = cells
+            fdofs = cells[fcells]
+        elif spec.space == "dg0_scalar":
+            ncols = mesh.num_cells
+            cdofs = np.arange(mesh.num_cells)[:, None]
+            fdofs = fcells[:, None]
+        elif spec.space == "const_scalar":
+            ncols = 1
+            cdofs = np.zeros((mesh.num_cells, 1), dtype=np.int32)
+            fdofs = np.zeros((len(fcells), 1), dtype=np.int32)
+        else:  # const_vector
+            ncols = dim
+            cdofs = np.tile(np.arange(dim), (mesh.num_cells, 1))
+            fdofs = np.tile(np.arange(dim), (len(fcells), 1))
+        return ncols, jnp.asarray(cdofs), jnp.asarray(fdofs)
+
+    def assemble_jac_dense(
+        self,
+        fields: dict,
+        wrt_key: str,
+        tangent_fields: Optional[dict] = None,
+    ) -> jnp.ndarray:
+        """
+        Dense Jacobian d(res)/d(fields[wrt_key]) of the assembled 'u'
+        residual, by element-level ``jax.jacfwd`` + scatter — this replaces
+        ``dfn.derivative`` + dolfin assembly
+        (reference: ``models/assemblyutils.py:98-133``).
+
+        With ``tangent_fields`` given, differentiates the *linearized*
+        residual ``jvp(res, fields, tangent_fields)`` instead — the building
+        block of the reference's ``LinearizedFenicsModel`` second-derivative
+        blocks (reference: ``dynamical.py:301-399``).
+
+        No Dirichlet handling is applied; callers mask rows as needed.
+        Returns an (nvert*dim, ncols) array.
+        """
+        mesh = self._mesh
+        dim = mesh.dim
+        topo = self.topology
+        ndof_res = mesh.num_vertices * dim
+        X = jnp.asarray(self.ref_mesh_coords)
+        has_shape = "prop/umesh" in self.coefficient_spec
+        wrt_is_shape = wrt_key == "prop/umesh"
+
+        ncols, cdofs, fdofs = self._wrt_cols(wrt_key)
+        out = jnp.zeros((ndof_res, ncols))
+
+        cell_elem = self.cell_elem_fn()
+        facet_elem = self.facet_elem_fn()
+        cells = topo.cells
+        row_cdofs = jnp.asarray(
+            assembly.cell_dof_array(np.asarray(cells), dim)
+        )
+
+        def make_elem_fn(base_elem, static_args):
+            """base residual of one element as fn of the wrt-local value."""
+
+            def with_w(w_e, Xref_e, local, tlocal, extra):
+                loc = dict(local)
+                loc[wrt_key] = w_e
+                if has_shape:
+                    um = loc["prop/umesh"]
+                    Xe = Xref_e + um
+                else:
+                    Xe = Xref_e
+
+                def res_of(loc_):
+                    return base_elem(Xe, *extra, loc_) if not has_shape else (
+                        base_elem(Xref_e + loc_["prop/umesh"], *extra, loc_)
+                    )
+
+                if tlocal is None:
+                    if has_shape:
+                        return base_elem(Xref_e + loc["prop/umesh"], *extra, loc)
+                    return base_elem(Xe, *extra, loc)
+                # linearized residual: jvp along the tangent locals
+                def f(l):
+                    if has_shape:
+                        return base_elem(
+                            Xref_e + l["prop/umesh"], *extra, l
+                        )
+                    return base_elem(Xe, *extra, l)
+
+                _, dres = jax.jvp(f, (loc,), (tlocal,))
+                return dres
+
+            return with_w
+
+        # ---- cell pass ----
+        local_c, axes_c = self.gather_cell_locals(fields)
+        tlocal_c = None
+        taxes_c = None
+        if tangent_fields is not None:
+            tlocal_c, taxes_c = self.gather_cell_locals(tangent_fields)
+        Xe_c = X[cells]
+
+        cell_fn = make_elem_fn(lambda Xe, loc: cell_elem(Xe, loc), ())
+
+        def cell_jac(Xref_e, local, tlocal):
+            w_e = local[wrt_key]
+
+            def g(w):
+                return cell_fn(w, Xref_e, local, tlocal, ())
+
+            return jax.jacfwd(g)(w_e)
+
+        in_axes = (0, axes_c, taxes_c)
+        Jc = jax.vmap(cell_jac, in_axes=in_axes)(Xe_c, local_c, tlocal_c)
+        # Jc: (nc, nv, dim, *w_shape)
+        nc = Jc.shape[0]
+        nv = cells.shape[1]
+        nld = nv * dim
+        Jc = Jc.reshape(nc, nld, -1)
+        rows = row_cdofs[:, :, None]
+        cols = cdofs[:, None, :]
+        ncw = Jc.shape[-1]
+        # broadcast col indices to (nc, nld, ncw)
+        out = out.at[
+            jnp.broadcast_to(rows, (nc, nld, ncw)),
+            jnp.broadcast_to(cols, (nc, nld, ncw)),
+        ].add(Jc)
+
+        # ---- facet pass ----
+        if self._facet_forms and self.n_facets() > 0:
+            fcells = topo.facet_cells
+            cell_verts = cells[fcells]
+            row_fdofs = jnp.asarray(
+                assembly.cell_dof_array(
+                    np.asarray(cells)[np.asarray(fcells)], dim
+                )
+            )
+            local_f, axes_f = self.gather_facet_locals(fields)
+            tlocal_f, taxes_f = (None, None)
+            if tangent_fields is not None:
+                tlocal_f, taxes_f = self.gather_facet_locals(tangent_fields)
+            Xe_f = X[cell_verts]
+
+            def facet_jac(Xref_e, sel, opp_sel, local, tlocal):
+                w_e = local[wrt_key]
+
+                def g(w):
+                    loc = dict(local)
+                    loc[wrt_key] = w
+                    if tlocal is None:
+                        if has_shape:
+                            return facet_elem(
+                                Xref_e + loc["prop/umesh"], sel, opp_sel, loc
+                            )
+                        return facet_elem(Xref_e, sel, opp_sel, loc)
+
+                    def f(l):
+                        if has_shape:
+                            return facet_elem(
+                                Xref_e + l["prop/umesh"], sel, opp_sel, l
+                            )
+                        return facet_elem(Xref_e, sel, opp_sel, l)
+
+                    _, dres = jax.jvp(f, (loc,), (tlocal,))
+                    return dres
+
+                return jax.jacfwd(g)(w_e)
+
+            Jf = jax.vmap(
+                facet_jac, in_axes=(0, 0, 0, axes_f, taxes_f)
+            )(Xe_f, topo.facet_sel, topo.facet_opp_sel, local_f, tlocal_f)
+            nf = Jf.shape[0]
+            Jf = Jf.reshape(nf, nld, -1)
+            rows = row_fdofs[:, :, None]
+            cols = fdofs[:, None, :]
+            ncw = Jf.shape[-1]
+            out = out.at[
+                jnp.broadcast_to(rows, (nf, nld, ncw)),
+                jnp.broadcast_to(cols, (nf, nld, ncw)),
+            ].add(Jf)
+
+        return out
 
 
 class JaxResidual:

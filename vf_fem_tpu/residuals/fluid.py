@@ -180,8 +180,11 @@ class BernoulliAreaRatioSep(PredefinedFluidResidual):
             )
 
             asep = r_sep * amin
-            # only coordinates downstream of the minimum can separate
-            _area = jnp.where(s >= smin, area, jnp.inf)
+            # only coordinates downstream of the minimum can separate.
+            # A large-but-finite sentinel (not inf) keeps the masked branch
+            # NaN-free under fused TPU fast-math rewrites of select.
+            big = jnp.asarray(1e30, dtype=area.dtype)
+            _area = jnp.where(s >= smin, area, big)
             gap = jnp.abs(_area - asep)
             # nanargmin equivalent: inf entries never win
             idx_sep = jnp.argmin(gap, axis=-1, keepdims=True)

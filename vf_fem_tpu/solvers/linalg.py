@@ -19,12 +19,30 @@ import jax
 import jax.numpy as jnp
 
 
+def _equilibrate(A: jnp.ndarray):
+    """Symmetric Jacobi equilibration scale: d = sqrt(|diag A|).
+
+    Newmark Jacobians mix mass terms ~ rho/(beta dt^2) (~1e8 at dt=1e-4)
+    with traction rows ~ O(1), a diagonal spread that breaks f32 LU on TPU
+    (no f64 LU exists there).  Scaling A -> D^-1/2 A D^-1/2 restores ~1e-6
+    relative solve accuracy in f32, and is harmless in f64.
+    """
+    d = jnp.sqrt(jnp.abs(jnp.diagonal(A)) + 1e-30)
+    return d
+
+
 def dense_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    return jnp.linalg.solve(A, b)
+    d = _equilibrate(A)
+    As = A / d[:, None] / d[None, :]
+    y = jnp.linalg.solve(As, b / d)
+    return y / d
 
 
 def dense_solve_transpose(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    return jnp.linalg.solve(A.T, b)
+    d = _equilibrate(A)
+    As = A / d[:, None] / d[None, :]
+    y = jnp.linalg.solve(As.T, b / d)
+    return y / d
 
 
 class CGResult(NamedTuple):
