@@ -1,0 +1,230 @@
+"""
+Functional + postprocess + transform tests (reference:
+``tests/functionals/test_functionals.py``, ``tests/test_transform.py``,
+``tests/postprocess/test_postprocess.py`` — all with working assertions).
+"""
+
+import numpy as np
+import pytest
+
+from vf_fem_tpu import forward, statefile as sf
+from vf_fem_tpu.functional import fluid as ffl
+from vf_fem_tpu.functional import fsi as ffsi
+from vf_fem_tpu.functional import solid as fsl
+from vf_fem_tpu.parameters import transform as tf
+from vf_fem_tpu.postprocess import TimeSeries, TimeSeriesStats
+from vf_fem_tpu.postprocess import solid as psl
+
+from fixture_models import make_vf_fsi_model
+
+
+@pytest.fixture(scope="module")
+def model():
+    from vf_fem_tpu.residuals import fluid as flr
+
+    return make_vf_fsi_model(FluidResidual=flr.BernoulliSmoothMinSep, nx=8, ny=4)
+
+
+@pytest.fixture(scope="module")
+def solved_file(model, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("funcs") / "run.h5")
+    times = 2e-5 * np.arange(24)
+    ini_state = model.state0.copy()
+    ini_state[:] = 0.0
+    f = sf.StateFile(model, path, mode="w")
+    forward.integrate(model, f, ini_state, [model.control], model.prop, times)
+    return f
+
+
+FUNCTIONALS = [
+    fsl.PeriodicError,
+    fsl.FinalDisplacementNorm,
+    fsl.FinalVelocityNorm,
+    fsl.FinalSurfaceDisplacementNorm,
+    fsl.ElasticEnergyDifference,
+    fsl.KVDampingWork,
+    fsl.PeriodicEnergyError,
+    ffl.FinalPressureNorm,
+    ffl.FinalFlowRateNorm,
+    ffl.AvgSubglottalPower,
+    ffl.AvgAcousticPower,
+    ffsi.TransferWorkbyVelocity,
+    ffsi.TransferWorkbyDisplacementIncrement,
+]
+
+
+@pytest.mark.parametrize("Functional", FUNCTIONALS)
+def test_functional_evaluates(model, solved_file, Functional):
+    func = Functional(model)
+    val = func(solved_file)
+    assert np.isfinite(val)
+
+    # dstate gradient exists and is finite
+    g = func.eval_dstate(solved_file, solved_file.size - 1)
+    assert np.all(np.isfinite(g.to_mono_ndarray()))
+
+
+def test_functional_dstate_fd(model, solved_file):
+    """dJ/d(final state) matches a finite difference of the trajectory
+    functional (pure trajectory perturbation)."""
+    from vf_fem_tpu.functional.base import _load_statefile
+    import jax.numpy as jnp
+
+    func = fsl.FinalDisplacementNorm(model)
+    val = func(solved_file)
+    g = func.eval_dstate(solved_file, solved_file.size - 1)
+
+    traj, times, controls, props = _load_statefile(model, solved_file)
+    h = 1e-6
+    i = np.argmax(np.abs(g["u"]))
+    traj2 = {k: v.copy() for k, v in traj.items()}
+    traj2["u"][-1, i] += h
+    val2 = float(
+        func.eval_traj(
+            {k: jnp.asarray(v) for k, v in traj2.items()},
+            jnp.asarray(times),
+            {k: jnp.asarray(v) for k, v in controls.items()},
+            {k: jnp.asarray(v) for k, v in props.items()},
+        )
+    )
+    fd = (val2 - val) / h
+    np.testing.assert_allclose(g["u"][i], fd, rtol=1e-4)
+
+
+def test_functional_algebra(model, solved_file):
+    a = fsl.FinalDisplacementNorm(model)
+    b = ffl.FinalFlowRateNorm(model)
+    combo = 2.0 * a + b**2
+    va, vb = a(solved_file), b(solved_file)
+    np.testing.assert_allclose(combo(solved_file), 2 * va + vb**2, rtol=1e-12)
+    g = combo.eval_dstate(solved_file, solved_file.size - 1)
+    assert np.all(np.isfinite(g.to_mono_ndarray()))
+
+
+MEASURES = [
+    psl.StressI1Field,
+    psl.StressI2Field,
+    psl.StressVonMisesField,
+    psl.StressHydrostaticField,
+    psl.ElasticStressField,
+    psl.StrainEnergy,
+    psl.StrainEnergyRate,
+    psl.ContactPressureField,
+    psl.ViscousDissipationField,
+    psl.ViscousDissipationRate,
+    psl.ContactAreaDensity,
+    psl.XMomentum,
+    psl.YMomentum,
+    psl.MeanGlottalWidth,
+    psl.MidpointGlottalWidth,
+    psl.MinGlottalWidthFromSolid,
+    psl.FSIPressure,
+    psl.FluidTractionPowerDensity,
+]
+
+
+@pytest.mark.parametrize("Measure", MEASURES)
+def test_measures(model, solved_file, Measure):
+    measure = Measure(model)
+    state = solved_file.get_state(solved_file.size - 1)
+    control = solved_file.get_control(solved_file.size - 1)
+    prop = solved_file.get_prop()
+    val = measure(state, control, prop)
+    assert np.all(np.isfinite(np.asarray(val)))
+
+
+def test_timeseries(model, solved_file):
+    series = TimeSeries(psl.MinGlottalWidthFromSolid(model))
+    gw = series(solved_file)
+    assert gw.shape == (solved_file.size,)
+    stats = TimeSeriesStats(psl.StrainEnergy(model))
+    assert stats.max(solved_file) >= stats.min(solved_file)
+
+
+def test_fieldstats(model, solved_file):
+    stats = psl.FieldStats(model, psl.StressVonMisesField(model))
+    state = solved_file.get_state(2)
+    out = stats(state, solved_file.get_control(2), solved_file.get_prop())
+    assert out["max"] >= out["avg"] >= out["min"]
+
+
+# -- transforms -------------------------------------------------------------
+
+
+def _rand_like(bvec, rng, scale=1.0):
+    out = bvec.copy()
+    out[:] = scale * rng.standard_normal(out.size)
+    return out
+
+
+@pytest.mark.parametrize(
+    "make",
+    [
+        lambda m: tf.Identity(m),
+        lambda m: tf.Scale(m, {"emod": 1e4}),
+        lambda m: tf.ConstantSubset(m, {"eta": 3.0}),
+        lambda m: tf.ExtractSubset(m, ["emod", "rho_air"]),
+        lambda m: tf.LayerModuli(m),
+    ],
+)
+def test_transform_duality(model, make):
+    """<hy, J dx> == <J^T hy, dx>  (reference: ``tests/test_transform.py:134-158``)."""
+    rng = np.random.default_rng(0)
+    transform = make(model)
+    x = transform.x.copy()
+    x[:] = 1.0 + rng.random(x.size)
+    dx = _rand_like(transform.x, rng)
+    hy = _rand_like(transform.y, rng)
+
+    dy = transform.apply_jvp(x, dx)
+    hx = transform.apply_vjp(x, hy)
+    lhs = float(np.dot(hy.to_mono_ndarray(), dy.to_mono_ndarray()))
+    rhs = float(np.dot(hx.to_mono_ndarray(), dx.to_mono_ndarray()))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-9)
+
+
+def test_transform_composition(model):
+    rng = np.random.default_rng(1)
+    t = tf.Scale(model, {"emod": 2.0}) * tf.ConstantSubset(model, {"eta": 3.0})
+    x = t.x.copy()
+    x[:] = 1.0
+    y = t.apply(x)
+    np.testing.assert_allclose(np.asarray(y["emod"]), 2.0)
+    np.testing.assert_allclose(np.asarray(y["eta"]), 3.0)
+    dx = _rand_like(t.x, rng)
+    hy = _rand_like(t.y, rng)
+    lhs = np.dot(hy.to_mono_ndarray(), t.apply_jvp(x, dx).to_mono_ndarray())
+    rhs = np.dot(t.apply_vjp(x, hy).to_mono_ndarray(), dx.to_mono_ndarray())
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-9)
+
+
+def test_traction_shape(model):
+    """TractionShape solves the aux elastic problem; duality + Taylor
+    (reference: ``transform.py:187-333``; ``test_transform.py``)."""
+    from vf_fem_tpu.load import load_solid_model
+    from vf_fem_tpu.mesh import vocal_fold_mesh
+    from vf_fem_tpu.residuals import solid as slr
+
+    mesh = vocal_fold_mesh(8, 4)
+    solid = load_solid_model(mesh, slr.KelvinVoigtWShape)
+    t = tf.TractionShape(solid)
+    rng = np.random.default_rng(2)
+    x = t.x.copy()
+    x[:] = 1e2 * rng.standard_normal(x.size)
+    y = t.apply(x)
+    assert np.all(np.isfinite(np.asarray(y["umesh"])))
+    assert np.linalg.norm(np.asarray(y["umesh"])) > 0
+    # linear: jvp(x) == apply difference
+    dx = _rand_like(t.x, rng, scale=10.0)
+    dy = t.apply_jvp(x, dx)
+    y2 = t.apply(x + dx)
+    np.testing.assert_allclose(
+        np.asarray(y2["umesh"]) - np.asarray(y["umesh"]),
+        np.asarray(dy["umesh"]),
+        rtol=1e-8,
+        atol=1e-12,
+    )
+    hy = _rand_like(t.y, rng)
+    lhs = np.dot(hy.to_mono_ndarray(), dy.to_mono_ndarray())
+    rhs = np.dot(t.apply_vjp(x, hy).to_mono_ndarray(), dx.to_mono_ndarray())
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-9)

@@ -15,6 +15,8 @@ from . import blocks, constants, solverconst
 from . import mesh, fem, equations, residuals, models, solvers
 from . import load
 from . import forward, adjoint, static, statefile
+from . import functional, parameters, postprocess, stepfunctional
+from . import parallel
 
 __all__ = [
     "blocks",

@@ -338,14 +338,31 @@ class SolidModel(BaseTransientModel):
 
         # ---- Pure Newton solve with IFT adjoint ----
         def _solve_u1_fwd_only(u_guess, state0, control, prop, dt, params):
+            params_d = dict(params)
+
             def assem(u1):
                 return res_u(u1, state0, control, prop, dt)
 
-            def solve_jac(u1, r):
-                A = jac_u_dense(u1, state0, control, prop, dt)
-                return linalg.dense_solve(A, r)
+            if params_d.get("jacobian_update", "every_iteration") == (
+                "once_per_step"
+            ):
+                # Modified Newton: factor the Jacobian once at the step's
+                # initial guess and reuse it — each extra iteration costs
+                # two triangular solves instead of an O(n^3) refactor.
+                # Convergence is still certified by the residual criteria.
+                A0 = jac_u_dense(u_guess, state0, control, prop, dt)
+                factors = linalg.dense_factor(A0)
 
-            return newton_solve(u_guess, assem, solve_jac, dict(params))
+                def solve_jac(u1, r):
+                    return linalg.dense_factor_solve(factors, r)
+
+            else:
+
+                def solve_jac(u1, r):
+                    A = jac_u_dense(u1, state0, control, prop, dt)
+                    return linalg.dense_solve(A, r)
+
+            return newton_solve(u_guess, assem, solve_jac, params_d)
 
         @partial(jax.custom_vjp, nondiff_argnums=(5,))
         def solve_u1(u_guess, state0, control, prop, dt, params):

@@ -45,6 +45,28 @@ def dense_solve_transpose(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return y / d
 
 
+def dense_factor(A: jnp.ndarray):
+    """Equilibrate + invert once; reuse with :func:`dense_factor_solve`.
+
+    Newton with a per-step frozen Jacobian turns each extra iteration into
+    one MXU matvec.  An explicit inverse is used rather than LU factors:
+    on TPU the triangular ``lu_solve`` path is slower than a matmul, and
+    with Jacobi equilibration the inverse is numerically adequate for the
+    f32 noise floor at which Newton stops anyway.
+    """
+    d = _equilibrate(A)
+    As = A / d[:, None] / d[None, :]
+    # solve against I rather than jnp.linalg.inv: identical result but uses
+    # the same (fast-compiling) LU codepath as dense_solve on TPU
+    Ainv = jnp.linalg.solve(As, jnp.eye(As.shape[0], dtype=As.dtype))
+    return (Ainv, d)
+
+
+def dense_factor_solve(factors, b: jnp.ndarray) -> jnp.ndarray:
+    Ainv, d = factors
+    return (Ainv @ (b / d)) / d
+
+
 class CGResult(NamedTuple):
     x: jnp.ndarray
     n_iter: jnp.ndarray

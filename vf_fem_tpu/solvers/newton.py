@@ -46,23 +46,35 @@ def newton_solve(
     abs_tol = params["absolute_tolerance"]
     rel_tol = params["relative_tolerance"]
     max_iter = params["maximum_iterations"]
+    # Stop when an iteration fails to reduce the residual by this factor:
+    # in reduced precision the achievable residual is set by the rounding
+    # noise floor of the residual evaluation itself (large on TPU f32 due
+    # to the ~1/(beta dt^2) Newmark mass terms), so grinding to a fixed
+    # absolute tolerance would spin at max_iter without progress.
+    stagnation_ratio = params.get("stagnation_ratio", 0.9)
 
     res0 = assem_res(x0)
     err0 = jnp.linalg.norm(res0)
+    big = jnp.asarray(jnp.inf, dtype=err0.dtype)
 
     def cond(carry):
-        x, res, err, k = carry
+        x, res, err, err_prev, k = carry
         not_conv = jnp.logical_and(err >= abs_tol, err >= rel_tol * err0)
-        return jnp.logical_and(not_conv, k < max_iter)
+        progressing = err < stagnation_ratio * err_prev
+        return jnp.logical_and(
+            jnp.logical_and(not_conv, progressing), k < max_iter
+        )
 
     def body(carry):
-        x, res, err, k = carry
+        x, res, err, err_prev, k = carry
         dx = solve_jac(x, res)
         x = x - dx
         res = assem_res(x)
-        return (x, res, jnp.linalg.norm(res), k + 1)
+        return (x, res, jnp.linalg.norm(res), err, k + 1)
 
-    x, res, err, k = jax.lax.while_loop(cond, body, (x0, res0, err0, 0))
+    x, res, err, err_prev, k = jax.lax.while_loop(
+        cond, body, (x0, res0, err0, big, 0)
+    )
     info = SolveInfo(
         num_iter=k, abs_err=err, rel_err=err / jnp.where(err0 == 0, 1.0, err0)
     )
