@@ -82,3 +82,31 @@ def test_vocal_fold_mesh():
     d2 = X[:, 2] - X[:, 0]
     areas = 0.5 * np.abs(d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0])
     assert np.all(areas > 0)
+
+
+def test_gmsh_roundtrip(tmp_path):
+    """write_gmsh -> load_gmsh preserves topology, markers, and names."""
+    from vf_fem_tpu.mesh.writers import write_gmsh
+    from vf_fem_tpu.mesh.gmsh_io import load_gmsh
+
+    mesh = vocal_fold_mesh(10, 5)
+    path = str(tmp_path / "vf.msh")
+    write_gmsh(mesh, path)
+    mesh2 = load_gmsh(path)
+
+    assert mesh2.num_vertices == mesh.num_vertices
+    assert mesh2.num_cells == mesh.num_cells
+    np.testing.assert_allclose(mesh2.coords, mesh.coords)
+    # subdomain names survive
+    assert mesh2.subdomains[1].get("pressure") == mesh.subdomains[1]["pressure"]
+    assert mesh2.subdomains[1].get("fixed") == mesh.subdomains[1]["fixed"]
+    # marked facet sets are identical
+    for name in ("pressure", "fixed"):
+        f1 = {tuple(sorted(mesh.facets[i])) for i in mesh.facets_by_subdomain([name])}
+        f2 = {tuple(sorted(mesh2.facets[i])) for i in mesh2.facets_by_subdomain([name])}
+        assert f1 == f2
+    # FSI interface derivation matches
+    s1, d1, _ = derive_1d_interface(mesh)
+    s2, d2, _ = derive_1d_interface(mesh2)
+    np.testing.assert_allclose(s1, s2)
+    np.testing.assert_array_equal(d1, d2)

@@ -24,7 +24,9 @@ class RmsRadiatedPressure(AbstractFunctional):
 
     def eval_traj(self, traj, times, controls, props):
         n0 = self.constants["n_start"]
-        prad = traj["prad"][n0:, -1]
+        # mouth pressure = incident + reflected partial pressures at the
+        # last junction
+        prad = traj["pinc"][n0:, -1] + traj["pref"][n0:, -1]
         t = times[n0:]
         dt = jnp.diff(t)
         mean_sq = jnp.sum(0.5 * dt * (prad[1:] ** 2 + prad[:-1] ** 2)) / (
@@ -42,10 +44,11 @@ class AcousticPower(AbstractFunctional):
     def eval_traj(self, traj, times, controls, props):
         n0 = self.constants["n_start"]
         # outgoing-wave power at the mouth: A * f^2 / (rho c) with f the
-        # forward-travelling wave amplitude at the last tract section
-        f_wave = traj["pinc"][n0:, -1]
-        rho, c = self.constants["rho"], self.constants["c"]
-        area = props["acoustic_area"][-1]
+        # forward-travelling partial pressure at the last tract section
+        f_wave = traj["pref"][n0:, -1]
+        rho = props["rhoac"][0]
+        c = props["soundspeed"][0]
+        area = props["area"][-1]
         power = area * f_wave**2 / (rho * c)
         t = times[n0:]
         dt = jnp.diff(t)
