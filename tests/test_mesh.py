@@ -110,3 +110,47 @@ def test_gmsh_roundtrip(tmp_path):
     s2, d2, _ = derive_1d_interface(mesh2)
     np.testing.assert_allclose(s1, s2)
     np.testing.assert_array_equal(d1, d2)
+
+
+def test_native_meshkit_consistency():
+    """Native C++ facet extraction / chain sort match the numpy paths."""
+    import os
+    from vf_fem_tpu import native
+
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip("native meshkit unavailable")
+
+    mesh = vocal_fold_mesh(12, 6)
+    cells = np.asarray(mesh.cells)
+    facets, fcell, flocal, counts = native.build_facets_native(cells, 2)
+    # each facet's adjacency is consistent
+    for i in range(len(facets)):
+        cv = set(cells[fcell[i]])
+        assert set(facets[i]) <= cv
+        opp = cells[fcell[i]][flocal[i]]
+        assert opp not in set(facets[i])
+    # boundary facet set matches the numpy-derived mesh
+    bset_native = {tuple(sorted(facets[i])) for i in np.nonzero(counts == 1)[0]}
+    bset_numpy = {
+        tuple(sorted(mesh.facets[i])) for i in mesh.boundary_facets
+    }
+    assert bset_native == bset_numpy
+
+    # chain sort identical to the numpy walk
+    from vf_fem_tpu.mesh.core import sort_vertices_by_nearest_neighbours
+
+    rng = np.random.default_rng(0)
+    t = np.sort(rng.random(20))
+    pts = np.stack([t, 0.1 * np.sin(8 * t)], axis=-1)
+    shuffled = rng.permutation(pts)
+    perm_native = native.sort_edge_chain_native(shuffled)
+    # numpy reference walk
+    idx_sort = [int(np.argmin(np.linalg.norm(shuffled, axis=-1)))]
+    dist = np.empty(len(shuffled))
+    while len(idx_sort) < len(shuffled):
+        d = shuffled - shuffled[idx_sort[-1]]
+        dist[:] = np.sqrt((d**2).sum(-1))
+        dist[idx_sort] = np.nan
+        idx_sort.append(int(np.nanargmin(dist)))
+    np.testing.assert_array_equal(perm_native, idx_sort)

@@ -1,0 +1,55 @@
+"""Pallas kernel correctness (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vf_fem_tpu.equations import newmark
+from vf_fem_tpu.ops import ebe_matvec, newmark_update
+
+
+def test_ebe_matvec_matches_einsum(rng):
+    ne, nld = 37, 6
+    J = rng.standard_normal((ne, nld, nld))
+    x = rng.standard_normal((ne, nld))
+    y = np.asarray(ebe_matvec(jnp.asarray(J), jnp.asarray(x), tile=16))
+    y_ref = np.einsum("eij,ej->ei", J, x)
+    np.testing.assert_allclose(y, y_ref, rtol=1e-12, atol=1e-12)
+
+
+def test_newmark_update_matches_formulas(rng):
+    n = 123
+    u1, u0, v0, a0 = (rng.standard_normal(n) for _ in range(4))
+    dt = 1e-4
+    v1, a1 = newmark_update(
+        jnp.asarray(u1), jnp.asarray(u0), jnp.asarray(v0), jnp.asarray(a0), dt
+    )
+    np.testing.assert_allclose(
+        np.asarray(v1), newmark.newmark_v(u1, u0, v0, a0, dt), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(a1), newmark.newmark_a(u1, u0, v0, a0, dt), rtol=1e-12
+    )
+
+
+def test_ebe_operator_matvec(rng):
+    """Pallas EBE operator application matches the dense matrix."""
+    from vf_fem_tpu.fem.assembly import EBEOperator
+    from vf_fem_tpu.ops import ebe_operator_matvec
+
+    ne, nld, ndof = 20, 6, 30
+    J = rng.standard_normal((ne, nld, nld))
+    dofs = rng.integers(0, ndof, size=(ne, nld))
+    bc = jnp.asarray(np.array([0, 5], dtype=np.int32))
+    op = EBEOperator(
+        J_cells=jnp.asarray(J),
+        cell_dofs=jnp.asarray(dofs),
+        J_facets=None,
+        facet_dofs=None,
+        ndof=ndof,
+        bc_dofs=bc,
+    )
+    x = rng.standard_normal(ndof)
+    y_pallas = np.asarray(ebe_operator_matvec(op, jnp.asarray(x), tile=8))
+    y_ref = np.asarray(op.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(y_pallas, y_ref, rtol=1e-12, atol=1e-12)

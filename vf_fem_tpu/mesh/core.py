@@ -84,29 +84,42 @@ class Mesh:
         self.entities[0] = np.arange(nv, dtype=INT).reshape(-1, 1)
         self.entities[dim] = self.cells
 
-        # Facets (dim-1) with cell adjacency
-        cf = _cell_facets(self.cells)  # (nc, nlf, dim)
-        nc, nlf, k = cf.shape
-        flat = cf.reshape(-1, k)
-        facets, inverse = _unique_entities(flat)
-        inverse = inverse.reshape(nc, nlf)
-        self.entities[dim - 1] = facets
+        # Facets (dim-1) with cell adjacency.  The hash-based native kernel
+        # (C++, vf_fem_tpu/native/meshkit.cpp) replaces the numpy
+        # sort-based path for large meshes; results are equivalent up to
+        # facet ordering (each mesh instance is self-consistent).
+        from .. import native as _native
 
-        n_facets = facets.shape[0]
-        counts = np.zeros(n_facets, dtype=INT)
-        np.add.at(counts, inverse.reshape(-1), 1)
-        self.boundary_facets = np.nonzero(counts == 1)[0].astype(INT)
+        nat = _native.build_facets_native(self.cells, dim)
+        if nat is not None:
+            facets, facet_cell, facet_local, counts = nat
+            self.entities[dim - 1] = facets.astype(INT)
+            self.boundary_facets = np.nonzero(counts == 1)[0].astype(INT)
+            self.facet_to_cell = facet_cell.astype(INT)
+            self.facet_opposite_local_vertex = facet_local.astype(INT)
+        else:
+            cf = _cell_facets(self.cells)  # (nc, nlf, dim)
+            nc, nlf, k = cf.shape
+            flat = cf.reshape(-1, k)
+            facets, inverse = _unique_entities(flat)
+            inverse = inverse.reshape(nc, nlf)
+            self.entities[dim - 1] = facets
 
-        # adjacency: for each facet, one incident cell and the local facet idx
-        facet_cell = np.full(n_facets, -1, dtype=INT)
-        facet_local = np.full(n_facets, -1, dtype=INT)
-        cell_ids = np.repeat(np.arange(nc, dtype=INT), nlf)
-        local_ids = np.tile(np.arange(nlf, dtype=INT), nc)
-        facet_cell[inverse.reshape(-1)] = cell_ids
-        facet_local[inverse.reshape(-1)] = local_ids
-        self.facet_to_cell = facet_cell
-        # facet i of the cell is opposite local vertex i
-        self.facet_opposite_local_vertex = facet_local
+            n_facets = facets.shape[0]
+            counts = np.zeros(n_facets, dtype=INT)
+            np.add.at(counts, inverse.reshape(-1), 1)
+            self.boundary_facets = np.nonzero(counts == 1)[0].astype(INT)
+
+            # adjacency: one incident cell and the local facet idx per facet
+            facet_cell = np.full(n_facets, -1, dtype=INT)
+            facet_local = np.full(n_facets, -1, dtype=INT)
+            cell_ids = np.repeat(np.arange(nc, dtype=INT), nlf)
+            local_ids = np.tile(np.arange(nlf, dtype=INT), nc)
+            facet_cell[inverse.reshape(-1)] = cell_ids
+            facet_local[inverse.reshape(-1)] = local_ids
+            self.facet_to_cell = facet_cell
+            # facet i of the cell is opposite local vertex i
+            self.facet_opposite_local_vertex = facet_local
 
         # Edges (dim 1); in 2D edges == facets
         if dim == 3:
@@ -224,6 +237,13 @@ def sort_vertices_by_nearest_neighbours(
     coords = np.asarray(vertex_coordinates, dtype=float)
     if origin is None:
         origin = np.zeros(coords.shape[-1])
+
+    from .. import native as _native
+
+    perm = _native.sort_edge_chain_native(coords, origin)
+    if perm is not None:
+        return perm.astype(INT)
+
     idx_sort = [int(np.argmin(np.linalg.norm(coords - origin, axis=-1)))]
     dist = np.empty(coords.shape[0])
     while len(idx_sort) < coords.shape[0]:
