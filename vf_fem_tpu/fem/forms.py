@@ -132,6 +132,48 @@ def _pk2_residual(S: jnp.ndarray, F: jnp.ndarray, geom: CellGeom) -> jnp.ndarray
 # -- Cell form classes --------------------------------------------------------
 
 
+class FormExpr:
+    """
+    A signed sum of forms — the counterpart of the reference's ``Form``
+    algebra (``form_a + form_b``, ``-1.0 * form``; reference
+    ``form.py:338-453``).  Coefficients with the same key are shared
+    automatically since kernels address coefficients by name.
+    """
+
+    def __init__(self, signed_forms):
+        self.signed_forms = list(signed_forms)
+
+    def __add__(self, other):
+        return FormExpr(self.signed_forms + _as_signed(other))
+
+    def __radd__(self, other):
+        return FormExpr(_as_signed(other) + self.signed_forms)
+
+    def __sub__(self, other):
+        return FormExpr(
+            self.signed_forms + [(-s, f) for s, f in _as_signed(other)]
+        )
+
+    def __mul__(self, scalar):
+        return FormExpr([(s * scalar, f) for s, f in self.signed_forms])
+
+    __rmul__ = __mul__
+
+    def __neg__(self):
+        return self * -1.0
+
+    def __iter__(self):
+        return iter(self.signed_forms)
+
+
+def _as_signed(obj):
+    if isinstance(obj, FormExpr):
+        return list(obj.signed_forms)
+    if isinstance(obj, BaseForm):
+        return [(1.0, obj)]
+    raise TypeError(f"Cannot combine forms with {type(obj)}")
+
+
 class BaseForm:
     COEFFICIENT_SPEC: dict = {}
     domain = "cell"  # or 'facet'
@@ -142,6 +184,24 @@ class BaseForm:
 
     def facet_kernel(self, geom: FacetGeom, local: dict) -> jnp.ndarray:
         raise NotImplementedError
+
+    # form algebra (reference: ``form.py:338-357``)
+    def __add__(self, other):
+        return FormExpr([(1.0, self)]) + other
+
+    def __radd__(self, other):
+        return _as_signed(other) and FormExpr(_as_signed(other) + [(1.0, self)])
+
+    def __sub__(self, other):
+        return FormExpr([(1.0, self)]) - other
+
+    def __mul__(self, scalar):
+        return FormExpr([(float(scalar), self)])
+
+    __rmul__ = __mul__
+
+    def __neg__(self):
+        return FormExpr([(-1.0, self)])
 
 
 class InertialForm(BaseForm):

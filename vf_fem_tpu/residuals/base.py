@@ -41,6 +41,11 @@ class FemResidual:
         traction_subdomains: Sequence[str] = ("pressure",),
         dirichlet_bc_specs: Optional[dict] = None,
     ):
+        # accept a FormExpr (form algebra) or a plain signed list
+        from ..fem.forms import FormExpr
+
+        if isinstance(signed_forms, FormExpr):
+            signed_forms = signed_forms.signed_forms
         self._signed_forms = list(signed_forms)
         self._mesh = mesh
         self._traction_subdomains = tuple(traction_subdomains)
