@@ -125,7 +125,7 @@ def main():
     # solve-against-identity program compiles pathologically slowly on the
     # remote TPU toolchain (~10 min, uncached), so the fast-compiling
     # configuration is the robust benchmark default.
-    tolerances = None
+    tolerances = {"jacobian_update": "once_per_step"}
 
     model = build(f64)
     log(f"device: {default}, ndof={model.solid.ndof}, f64={f64}")

@@ -1,0 +1,44 @@
+"""
+Golden-trajectory regression: the canonical explicit FSI run must
+reproduce the stored f64 trajectory to tight tolerance (the continuous
+state-diffing strategy of SURVEY section 7, "dump reference trajectories
+early, diff continuously").
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from vf_fem_tpu import forward
+from vf_fem_tpu.residuals import fluid as flr
+
+from fixture_models import make_vf_fsi_model
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "data", "golden_fsi_explicit.npz")
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN), reason="no golden data")
+def test_fsi_trajectory_matches_golden():
+    data = np.load(GOLDEN)
+    times = data["times"]
+
+    model = make_vf_fsi_model(
+        FluidResidual=flr.BernoulliAreaRatioSep, nx=12, ny=6
+    )
+    ini = model.state0.copy()
+    ini[:] = 0.0
+    state0 = {k: np.asarray(v) for k, v in ini.sub_items()}
+    cs = forward._stack_controls(model, [model.control])
+    prop = model.prop_to_dict(model.prop)
+    fin, traj, infos = forward.integrate_pure(model, state0, cs, prop, times)
+
+    np.testing.assert_allclose(
+        np.asarray(traj["u"])[::8], data["u"], rtol=1e-8, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj["q"]).ravel(), data["q"], rtol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj["p"])[-1], data["p_final"], rtol=1e-8, atol=1e-8
+    )

@@ -34,10 +34,11 @@ if ENABLE_X64:
 
 # FEM residuals mix mass terms ~1/(beta dt^2) with O(1) traction terms, so
 # matmul rounding is immediately visible as Newton stagnation.  On TPU the
-# default f32 matmul precision uses bf16 MXU passes (~1e-3 relative error);
-# force full-f32 matmuls.  The element matrices are tiny, so the cost is
-# negligible.  Override with VF_FEM_TPU_MATMUL_PRECISION if desired.
-_PRECISION = os.environ.get("VF_FEM_TPU_MATMUL_PRECISION", "highest")
+# default f32 matmul precision uses single-pass bf16 MXU products (~1e-3
+# relative error) which breaks Newton convergence; 'float32' (3-pass bf16)
+# restores trajectories identical to full-f32 at ~6x faster compile than
+# 'highest'.  Override with VF_FEM_TPU_MATMUL_PRECISION if desired.
+_PRECISION = os.environ.get("VF_FEM_TPU_MATMUL_PRECISION", "float32")
 jax.config.update("jax_default_matmul_precision", _PRECISION)
 
 

@@ -206,6 +206,22 @@ def integrate(
         "rel_err": float(step_info["rel_err"][-1]),
     }
     last_info["all"] = step_info
+    # failure detection the reference lacks (SURVEY section 5.3): flag
+    # NaN/diverged steps instead of silently writing garbage
+    bad = ~np.isfinite(step_info["abs_err"])
+    if bad.any():
+        import warnings
+
+        first = int(np.nonzero(bad)[0][0])
+        last_info["diverged"] = True
+        last_info["diverged_step"] = first
+        warnings.warn(
+            f"integrate: non-finite solver residual first at step {first}"
+            f" of {n_steps}; simulation likely diverged",
+            RuntimeWarning,
+        )
+    else:
+        last_info["diverged"] = False
     return fin_bv, last_info
 
 
