@@ -125,7 +125,10 @@ def main():
     # solve-against-identity program compiles pathologically slowly on the
     # remote TPU toolchain (~10 min, uncached), so the fast-compiling
     # configuration is the robust benchmark default.
-    tolerances = {"jacobian_update": "once_per_step"}
+    # frozen-Jacobian Newton + stop once an iteration fails to halve the
+    # residual: in f32 this lands within 3.3e-8 of the f64 golden
+    # trajectory at ~2 iterations/step (measured on the vf mesh)
+    tolerances = {"jacobian_update": "once_per_step", "stagnation_ratio": 0.5}
 
     model = build(f64)
     log(f"device: {default}, ndof={model.solid.ndof}, f64={f64}")

@@ -1,0 +1,119 @@
+"""
+Transient-model OO derivative API (reference: ``tests/models/test_transient.py``
++ the Newmark-structured solve of ``transient.py:470-513``).
+"""
+
+import numpy as np
+import pytest
+
+from vf_fem_tpu.misc.taylor import taylor_convergence
+
+from fixture_models import make_unit_solid_model
+
+
+@pytest.fixture(scope="module")
+def model():
+    model = make_unit_solid_model()
+    rng = np.random.default_rng(0)
+    model.dt = 1e-4
+    state0 = model.state0.copy()
+    state0[:] = 1e-4 * rng.standard_normal(state0.size)
+    model.set_ini_state(state0)
+    state1 = model.state1.copy()
+    state1[:] = 1e-4 * rng.standard_normal(state1.size)
+    model.set_fin_state(state1)
+    control = model.control.copy()
+    control[:] = 500.0 * rng.random(control.size)
+    model.set_control(control)
+    return model
+
+
+def _res_mono(model):
+    return model.assem_res().to_mono_ndarray()
+
+
+def test_dres_dstate1_taylor(model):
+    rng = np.random.default_rng(1)
+    x0 = model.state1.copy()
+    dx = 1e-5 * rng.standard_normal(x0.size)
+
+    def f(x_flat):
+        x = model.state1.copy()
+        x[:] = x_flat
+        model.set_fin_state(x)
+        return _res_mono(model)
+
+    def jac(x_flat, d):
+        x = model.state1.copy()
+        x[:] = x_flat
+        model.set_fin_state(x)
+        A = model.assem_dres_dstate1().to_mono_ndarray()
+        return A @ d
+
+    taylor_convergence(x0.to_mono_ndarray(), dx, f, jac)
+
+
+def test_dres_dstate0_taylor(model):
+    rng = np.random.default_rng(2)
+    x0 = model.state0.copy()
+    dx = 1e-5 * rng.standard_normal(x0.size)
+
+    def f(x_flat):
+        x = model.state0.copy()
+        x[:] = x_flat
+        model.set_ini_state(x)
+        return _res_mono(model)
+
+    def jac(x_flat, d):
+        x = model.state0.copy()
+        x[:] = x_flat
+        model.set_ini_state(x)
+        A = model.assem_dres_dstate0().to_mono_ndarray()
+        return A @ d
+
+    taylor_convergence(x0.to_mono_ndarray(), dx, f, jac)
+
+
+def test_dres_dcontrol_taylor(model):
+    rng = np.random.default_rng(3)
+    g0 = model.control.copy()
+    dg = rng.standard_normal(g0.size)
+
+    def f(g_flat):
+        g = model.control.copy()
+        g[:] = g_flat
+        model.set_control(g)
+        return _res_mono(model)
+
+    def jac(g_flat, d):
+        g = model.control.copy()
+        g[:] = g_flat
+        model.set_control(g)
+        A = model.assem_dres_dcontrol().to_mono_ndarray()
+        return A @ d
+
+    taylor_convergence(g0.to_mono_ndarray(), dg, f, jac)
+
+
+def test_solve_dres_dstate1_roundtrip(model):
+    """solve_dres_dstate1 inverts the block Jacobian action; the adjoint
+    solve satisfies <x, A^T y>... duality."""
+    rng = np.random.default_rng(4)
+    A = model.assem_dres_dstate1()
+    b = model.state1.copy()
+    b[:] = rng.standard_normal(b.size)
+    x = model.solve_dres_dstate1(A, model.state1.copy(), b)
+    # A @ x == b
+    Ax = A.mult_vec(x)
+    # tolerance reflects the Newmark Jacobian's conditioning (~1e8 diag
+    # spread): the equilibrated LU delivers ~1e-7 relative roundtrip
+    np.testing.assert_allclose(
+        Ax.to_mono_ndarray(), b.to_mono_ndarray(), rtol=1e-6, atol=1e-8
+    )
+    # adjoint duality: <b2, x> == <x2, b> with x2 = A^{-T} b2
+    b2 = model.state1.copy()
+    b2[:] = rng.standard_normal(b2.size)
+    x2 = model.solve_dres_dstate1_adj(A, model.state1.copy(), b2)
+    lhs = float(np.dot(b2.to_mono_ndarray(), x.to_mono_ndarray()))
+    rhs = float(np.dot(x2.to_mono_ndarray(), b.to_mono_ndarray()))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-9)

@@ -419,8 +419,9 @@ class SolidModel(BaseTransientModel):
                                   params=_params_key(None)):
             from ..solvers.newton import SolveInfo
 
+            u_guess = _initial_guess(state1_guess, state0, dt, params)
             u1 = solve_u1_fwdmode(
-                state1_guess["u"], state0, control, prop, dt, params
+                u_guess, state0, control, prop, dt, params
             )
             u1_2d = u1.reshape(nvert, dim)
             u0, v0, a0 = _elem_state0(state0)
@@ -436,10 +437,22 @@ class SolidModel(BaseTransientModel):
         self.solve_state1_pure_fwd = solve_state1_pure_fwd
         self.step_pure_fwd = solve_state1_pure_fwd
 
+        def _initial_guess(state1_guess, state0, dt, params):
+            """Newmark predictor start (u0 + dt v0 + dt^2/2 a0) unless the
+            caller asks for its provided guess ('initial_guess': 'given').
+            The converged state is guess-independent; the predictor just
+            saves Newton iterations."""
+            if dict(params).get("initial_guess", "predictor") == "given":
+                return state1_guess["u"]
+            return (
+                state0["u"] + dt * state0["v"] + 0.5 * dt**2 * state0["a"]
+            )
+
         def solve_state1_pure(state1_guess, state0, control, prop, dt,
                               params=_params_key(None)):
+            u_guess = _initial_guess(state1_guess, state0, dt, params)
             u1, info = solve_u1(
-                state1_guess["u"], state0, control, prop, dt, params
+                u_guess, state0, control, prop, dt, params
             )
             u1_2d = u1.reshape(nvert, dim)
             u0, v0, a0 = _elem_state0(state0)
@@ -594,6 +607,99 @@ class SolidModel(BaseTransientModel):
         if name not in cache:
             cache[name] = jax.jit(fn, static_argnums=static_argnums)
         return cache[name]
+
+    def _oo_args(self):
+        state1 = self._np_state(self.state1)
+        state0 = self._np_state(self.state0)
+        control = {"p1": np.asarray(self.control["p"])}
+        prop = {k: np.asarray(v) for k, v in self.prop.sub_items()}
+        return state1, state0, control, prop
+
+    def assem_dres_dstate1(self) -> bv.BlockMatrix:
+        """3x3 block Jacobian wrt the final state, exploiting the Newmark
+        substitution (reference: ``transient.py:384-406``): the 'u' block
+        depends on u1 only; v/a rows are Newmark identities."""
+        state1, state0, control, prop = self._oo_args()
+        A = np.asarray(
+            self.jac_u_dense(state1["u"], state0, control, prop, self._dt)
+        )
+        n = self.ndof
+        I = np.eye(n)
+        Z = np.zeros((n, n))
+        dv_du1 = -newmark.newmark_v_du1(self._dt) * I
+        da_du1 = -newmark.newmark_a_du1(self._dt) * I
+        return bv.BlockMatrix(
+            [[A, Z, Z], [dv_du1, I, Z], [da_du1, Z, I]],
+            labels=(("u", "v", "a"), ("u", "v", "a")),
+        )
+
+    def assem_dres_dstate0(self) -> bv.BlockMatrix:
+        """(reference: ``transient.py:408-423``)"""
+        state1, state0, control, prop = self._oo_args()
+        u1 = jnp.asarray(state1["u"])
+        jac = jax.jacfwd(
+            lambda s0: self.res_u(u1, s0, control, prop, self._dt)
+        )({k: jnp.asarray(v) for k, v in state0.items()})
+        n = self.ndof
+        I = np.eye(n)
+        Z = np.zeros((n, n))
+        dt = self._dt
+        dv_du0 = -newmark.newmark_v_du0(dt) * I
+        dv_dv0 = -newmark.newmark_v_dv0(dt) * I
+        dv_da0 = -newmark.newmark_v_da0(dt) * I
+        da_du0 = -newmark.newmark_a_du0(dt) * I
+        da_dv0 = -newmark.newmark_a_dv0(dt) * I
+        da_da0 = -newmark.newmark_a_da0(dt) * I
+        return bv.BlockMatrix(
+            [
+                [np.asarray(jac["u"]), np.asarray(jac["v"]), np.asarray(jac["a"])],
+                [dv_du0, dv_dv0, dv_da0],
+                [da_du0, da_dv0, da_da0],
+            ],
+            labels=(("u", "v", "a"), ("u", "v", "a")),
+        )
+
+    def assem_dres_dcontrol(self) -> bv.BlockMatrix:
+        """(reference: ``transient.py:425-435``)"""
+        state1, state0, control, prop = self._oo_args()
+        u1 = jnp.asarray(state1["u"])
+        jac = jax.jacfwd(
+            lambda c: self.res_u(u1, state0, c, prop, self._dt)
+        )({"p1": jnp.asarray(control["p1"])})
+        n = self.ndof
+        Z = np.zeros((n, self.nvert))
+        return bv.BlockMatrix(
+            [[np.asarray(jac["p1"])], [Z], [Z]],
+            labels=(("u", "v", "a"), ("p",)),
+        )
+
+    def solve_dres_dstate1(self, dres_dstate1, x, b):
+        """One matrix solve on the 'u' block + explicit Newmark rows
+        (reference: ``transient.py:470-491``)."""
+        A = np.asarray(dres_dstate1["u", "u"])
+        bu, bvv, ba = (np.asarray(b[k]) for k in ("u", "v", "a"))
+        xu = np.asarray(linalg.dense_solve(jnp.asarray(A), jnp.asarray(bu)))
+        xv = bvv - np.asarray(dres_dstate1["v", "u"]) @ xu
+        xa = ba - np.asarray(dres_dstate1["a", "u"]) @ xu
+        out = x.copy()
+        out["u"], out["v"], out["a"] = xu, xv, xa
+        return out
+
+    def solve_dres_dstate1_adj(self, dres_dstate1_adj, x, b):
+        """Transposed Newmark-structured solve
+        (reference: ``transient.py:493-513``)."""
+        A = np.asarray(dres_dstate1_adj["u", "u"])
+        bu, bvv, ba = (np.asarray(b[k]) for k in ("u", "v", "a"))
+        rhs_u = bu - (
+            np.asarray(dres_dstate1_adj["v", "u"]).T @ bvv
+            + np.asarray(dres_dstate1_adj["a", "u"]).T @ ba
+        )
+        xu = np.asarray(
+            linalg.dense_solve_transpose(jnp.asarray(A), jnp.asarray(rhs_u))
+        )
+        out = x.copy()
+        out["u"], out["v"], out["a"] = xu, bvv, ba
+        return out
 
     def solve_state1(self, state1, options: Optional[dict] = None):
         params = _params_key(options)
@@ -968,12 +1074,17 @@ class ImplicitFSIModel(BaseTransientFSIModel):
             sl_state0 = {k: state0[k] for k in ("u", "v", "a")}
             fp_params = {**FIXEDPOINT_SOLVER_PRM}
 
+            picard_params = tuple(
+                sorted({**dict(params), "initial_guess": "given"}.items())
+            )
+
             def picard(x):
                 # solid solve with the current iterate's fluid pressure
                 p_solid = self._pressure_to_solid(x["p"])
                 sl_guess = {k: x[k] for k in ("u", "v", "a")}
                 uva1, _ = solid.solve_state1_pure(
-                    sl_guess, sl_state0, {"p1": p_solid}, sl_prop, dt, params
+                    sl_guess, sl_state0, {"p1": p_solid}, sl_prop, dt,
+                    picard_params,
                 )
                 area = self._area_from_u1(uva1["u"], prop)
                 fl_control = {"area": area, **{k: control[k] for k in control}}
