@@ -118,33 +118,32 @@ def main():
     default = jax.devices()[0]
     on_accel = default.platform not in ("cpu",)
     f64 = not on_accel
-    # Reference tolerances; f32 Newton stops at the rounding noise floor
-    # via the stagnation criterion (solvers/newton.py).  Full Newton
-    # (fresh LU per iteration) is used: the frozen-Jacobian variant runs
-    # ~60% faster per step (jacobian_update='once_per_step') but its
-    # solve-against-identity program compiles pathologically slowly on the
-    # remote TPU toolchain (~10 min, uncached), so the fast-compiling
-    # configuration is the robust benchmark default.
-    # frozen-Jacobian Newton + stop once an iteration fails to halve the
-    # residual: in f32 this lands within 3.3e-8 of the f64 golden
-    # trajectory at ~2 iterations/step (measured on the vf mesh)
-    tolerances = {"jacobian_update": "once_per_step", "stagnation_ratio": 0.5}
+    # Each backend runs its best solver configuration (measured):
+    # - TPU: frozen-Jacobian Newton (refactor = latency-bound) + stop when
+    #   an iteration fails to halve the residual.  In f32 this lands within
+    #   3.3e-8 of the f64 golden trajectory at ~2 iterations/step.
+    # - CPU: full Newton (LU-per-iteration beats explicit inverses there)
+    #   with the same stopping rule.
+    tol_dev = {"jacobian_update": "once_per_step", "stagnation_ratio": 0.5}
+    tol_cpu = {"stagnation_ratio": 0.5}
+    if not on_accel:
+        tol_dev = tol_cpu
 
     model = build(f64)
     log(f"device: {default}, ndof={model.solid.ndof}, f64={f64}")
 
-    tps_dev, ct_dev, fin_dev, infos_dev = run_device(model, default, tolerances)
+    tps_dev, ct_dev, fin_dev, infos_dev = run_device(model, default, tol_dev)
     log(
         f"{default.platform}: {tps_dev:.1f} steps/s"
         f" (compile {ct_dev:.1f}s, max_iter"
         f" {int(np.asarray(infos_dev.num_iter).max())})"
     )
 
-    # CPU baseline (PETSc-CPU stand-in), same precision & workload
+    # CPU baseline (PETSc-CPU stand-in) at its own best configuration
     vs_baseline = 1.0
     if on_accel:
         cpu = jax.devices("cpu")[0]
-        tps_cpu, ct_cpu, fin_cpu, _ = run_device(model, cpu, tolerances)
+        tps_cpu, ct_cpu, fin_cpu, _ = run_device(model, cpu, tol_cpu)
         log(f"cpu: {tps_cpu:.1f} steps/s (compile {ct_cpu:.1f}s)")
         vs_baseline = tps_dev / tps_cpu
         # sanity: device and CPU trajectories agree

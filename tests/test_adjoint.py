@@ -134,3 +134,32 @@ def test_jvp_vjp_duality(model):
     lhs = float(jnp.vdot(hy, jdx))
     rhs = float(jnp.vdot(jt_hy, dx))
     np.testing.assert_allclose(lhs, rhs, rtol=1e-9)
+
+
+def test_implicit_fsi_grad_matches_fd():
+    """Gradient through the implicit (Picard) FSI step via the coupled
+    IFT custom_vjp (reference's coupled (u,p) adjoint solve,
+    ``transient.py:1062-1145``)."""
+    model = make_vf_fsi_model(
+        FluidResidual=flr.BernoulliSmoothMinSep, coupling="implicit",
+        nx=6, ny=3,
+    )
+    times = DT * np.arange(4)
+    ini_state = model.state0.copy()
+    ini_state[:] = 0.0
+
+    value, grads = adjoint.integrate_grad(
+        model, _functional, ini_state, [model.control], model.prop, times
+    )
+    assert np.isfinite(value)
+
+    g_psub = grads["controls"]["psub"].sum()
+    h = 1.0
+    cp, cm = model.control.copy(), model.control.copy()
+    cp["psub"][:] = cp["psub"] + h
+    cm["psub"][:] = cm["psub"] - h
+    vp = _run_value(model, ini_state, [cp], model.prop, times)
+    vm = _run_value(model, ini_state, [cm], model.prop, times)
+    fd = (vp - vm) / (2 * h)
+    assert fd != 0
+    np.testing.assert_allclose(g_psub, fd, rtol=1e-4)

@@ -113,3 +113,20 @@ def test_time_varying_controls(model):
     )
     # ramped start -> different trajectory than constant full pressure
     assert not np.allclose(fin_ramp["u"], fin_const["u"])
+
+
+def test_windowed_integration_matches(model):
+    """Windowed (chunked-scan) integration matches the single scan."""
+    times = 2e-5 * np.arange(13)
+    ini_state = model.state0.copy()
+    ini_state[:] = 0.0
+    fin_a, _ = forward.integrate(
+        model, None, ini_state, [model.control], model.prop, times,
+        write=False,
+    )
+    fin_b, _ = forward.integrate(
+        model, None, ini_state, [model.control], model.prop, times,
+        write=False, window=5, use_tqdm=True,
+    )
+    for k in ("u", "v", "a", "q", "p"):
+        np.testing.assert_allclose(fin_a[k], fin_b[k], rtol=1e-10, atol=1e-14)

@@ -90,3 +90,54 @@ def test_sweep_grad(model, sweep_args):
     assert g.shape[0] == 8
     assert np.all(np.isfinite(g))
     assert np.linalg.norm(g) > 0
+
+
+def test_domain_sharded_matvec():
+    rng = np.random.default_rng(10)
+    """Element-partitioned (tensor-parallel) EBE matvec over the device
+    mesh matches the single-device operator (SURVEY section 2.10 TP plan)."""
+    from vf_fem_tpu.fem.assembly import EBEOperator
+    from vf_fem_tpu.parallel.domain import sharded_ebe_matvec
+
+    ne, nld, ndof = 40, 6, 50
+    J = rng.standard_normal((ne, nld, nld))
+    dofs = rng.integers(0, ndof, size=(ne, nld))
+    op = EBEOperator(
+        J_cells=jnp.asarray(J),
+        cell_dofs=jnp.asarray(dofs),
+        J_facets=None,
+        facet_dofs=None,
+        ndof=ndof,
+        bc_dofs=jnp.asarray(np.array([0, 3], dtype=np.int32)),
+    )
+    x = jnp.asarray(rng.standard_normal(ndof))
+    mesh = batch_mesh(8, axis="shard")
+    y_sharded = np.asarray(sharded_ebe_matvec(op, x, mesh))
+    y_ref = np.asarray(op.matvec(x))
+    np.testing.assert_allclose(y_sharded, y_ref, rtol=1e-10, atol=1e-12)
+
+
+def test_domain_sharded_pcg():
+    rng = np.random.default_rng(11)
+    """Sharded CG solves an SPD EBE system to tolerance."""
+    from vf_fem_tpu.fem.assembly import EBEOperator
+    from vf_fem_tpu.parallel.domain import sharded_pcg
+
+    # SPD element blocks sharing dofs -> SPD global operator
+    ne, nld, ndof = 30, 4, 25
+    B = rng.standard_normal((ne, nld, nld))
+    J = np.einsum("eij,ekj->eik", B, B) + 3.0 * np.eye(nld)
+    dofs = rng.integers(0, ndof, size=(ne, nld))
+    op = EBEOperator(
+        J_cells=jnp.asarray(J),
+        cell_dofs=jnp.asarray(dofs),
+        J_facets=None,
+        facet_dofs=None,
+        ndof=ndof,
+        bc_dofs=jnp.asarray(np.zeros(0, dtype=np.int32)),
+    )
+    b = jnp.asarray(rng.standard_normal(ndof))
+    mesh = batch_mesh(8, axis="shard")
+    result = sharded_pcg(op, b, mesh, tol=1e-10)
+    res = np.asarray(op.matvec(result.x)) - np.asarray(b)
+    assert np.linalg.norm(res) < 1e-8 * max(1.0, float(np.linalg.norm(np.asarray(b))))

@@ -112,6 +112,60 @@ def integrate_pure(
     return fn(ini_state, controls_stacked, prop, jnp.asarray(times))
 
 
+def _integrate_windowed(
+    model,
+    state0: dict,
+    controls_stacked: dict,
+    prop: dict,
+    times: np.ndarray,
+    params: Optional[dict],
+    window: Optional[int] = None,
+    use_tqdm: bool = False,
+):
+    """Chunk the scanned integration into fixed-size windows.
+
+    Each window is one jitted scan call (two compilations at most: the
+    window size and the remainder); the state carries across windows and
+    trajectories are concatenated on host.
+    """
+    n_steps = len(times) - 1
+    if window is None and use_tqdm:
+        window = max(1, min(50, n_steps))
+    if window is None or window >= n_steps:
+        return integrate_pure(
+            model, state0, controls_stacked, prop, times, params
+        )
+
+    starts = list(range(0, n_steps, window))
+    iterator = starts
+    if use_tqdm:
+        from tqdm import tqdm
+
+        iterator = tqdm(starts, unit_scale=window, unit="step")
+
+    trajs, infos_all = [], []
+    state = state0
+    for s in iterator:
+        e = min(s + window, n_steps)
+        # shift controls: step n of this window is global step s + n
+        ctrl_win = jax.tree_util.tree_map(
+            lambda a: a[min(s, a.shape[0] - 1) :], controls_stacked
+        )
+        state, traj, infos = integrate_pure(
+            model, state, ctrl_win, prop, times[s : e + 1], params
+        )
+        trajs.append(jax.tree_util.tree_map(np.asarray, traj))
+        infos_all.append(jax.tree_util.tree_map(np.asarray, infos))
+
+    traj = jax.tree_util.tree_map(
+        lambda *xs: np.concatenate(xs, axis=0), *trajs
+    )
+    infos = jax.tree_util.tree_map(
+        lambda *xs: np.concatenate(xs, axis=0), *infos_all
+    )
+    return state, traj, infos
+
+
 def validate_times(times) -> np.ndarray:
     """(reference: ``forward.py:65-72``)"""
     times = np.asarray(times)
@@ -136,6 +190,7 @@ def integrate(
     newton_solver_prm: Optional[Options] = None,
     write: bool = True,
     use_tqdm: bool = False,
+    window: Optional[int] = None,
 ):
     """
     Integrate the model over ``times`` (reference: ``forward.py:22-102``).
@@ -143,6 +198,11 @@ def integrate(
     ``controls`` is a list of control BlockVectors; a single entry is held
     constant over the run, otherwise the last entry is held for remaining
     steps (reference: ``forward.py:170``).
+
+    ``window`` chunks the scan into windows of that many steps (bounding
+    device trajectory memory for long runs); ``use_tqdm`` shows a per-window
+    progress bar (the reference's per-step tqdm, ``forward.py:165-168``,
+    adapted to the scanned loop).
     """
     if idx_meas is None:
         idx_meas = np.array([])
@@ -153,8 +213,9 @@ def integrate(
     controls_stacked = _stack_controls(model, controls)
     prop_d = model.prop_to_dict(prop)
 
-    fin_state, traj, infos = integrate_pure(
-        model, state0, controls_stacked, prop_d, times, newton_solver_prm
+    fin_state, traj, infos = _integrate_windowed(
+        model, state0, controls_stacked, prop_d, times, newton_solver_prm,
+        window=window, use_tqdm=use_tqdm,
     )
 
     state_keys = list(ini_state.keys())

@@ -1103,4 +1103,85 @@ class ImplicitFSIModel(BaseTransientFSIModel):
             )
             return x, info
 
-        self.step_pure = step_pure
+        self._step_fwd_only = step_pure
+
+        # Coupled implicit-function-theorem derivative rules: the Picard
+        # while_loop is not differentiable, so both AD modes solve the
+        # coupled Jacobian system at the converged state — the jax-native
+        # form of the reference's coupled (u, p) LU adjoint
+        # (reference: ``transient.py:1035-1145``).
+        from jax.flatten_util import ravel_pytree
+
+        def _coupled_jac(x, state0, control, prop, dt):
+            x_flat, unravel = ravel_pytree(x)
+
+            def r_flat(xf):
+                return ravel_pytree(
+                    res_pure(unravel(xf), state0, control, prop, dt)
+                )[0]
+
+            J = jax.jacfwd(r_flat)(x_flat)
+            return J, x_flat, unravel
+
+        @partial(jax.custom_vjp, nondiff_argnums=(5,))
+        def step_ift(state1_guess, state0, control, prop, dt, params):
+            return step_pure(state1_guess, state0, control, prop, dt, params)
+
+        def step_ift_fwd(state1_guess, state0, control, prop, dt, params):
+            x, info = step_pure(state1_guess, state0, control, prop, dt, params)
+            return (x, info), (x, state0, control, prop, dt)
+
+        def step_ift_bwd(params, saved, cotangents):
+            x, state0, control, prop, dt = saved
+            xbar, _ = cotangents
+            J, x_flat, unravel = _coupled_jac(x, state0, control, prop, dt)
+            xbar_flat = ravel_pytree(xbar)[0]
+            lam_flat = linalg.dense_solve_transpose(J, xbar_flat)
+            lam = unravel(lam_flat)
+
+            def r_theta(s0, c, p, t):
+                return res_pure(x, s0, c, p, t)
+
+            _, vjp = jax.vjp(r_theta, state0, control, prop, dt)
+            g_s0, g_c, g_p, g_t = vjp(
+                jax.tree_util.tree_map(lambda a: -a, lam)
+            )
+            g_guess = jax.tree_util.tree_map(jnp.zeros_like, x)
+            return (g_guess, g_s0, g_c, g_p, g_t)
+
+        step_ift.defvjp(step_ift_fwd, step_ift_bwd)
+        self.step_pure = step_ift
+
+        @partial(jax.custom_jvp, nondiff_argnums=(5,))
+        def step_ift_f(state1_guess, state0, control, prop, dt, params):
+            x, _ = step_pure(state1_guess, state0, control, prop, dt, params)
+            return x
+
+        @step_ift_f.defjvp
+        def step_ift_jvp(params, primals, tangents):
+            state1_guess, state0, control, prop, dt = primals
+            _, ds0, dc, dp, ddt = tangents
+            x = step_ift_f(state1_guess, state0, control, prop, dt, params)
+            J, x_flat, unravel = _coupled_jac(x, state0, control, prop, dt)
+            _, rdot = jax.jvp(
+                lambda s0, c, p, t: res_pure(x, s0, c, p, t),
+                (state0, control, prop, dt),
+                (ds0, dc, dp, ddt),
+            )
+            rdot_flat = ravel_pytree(rdot)[0]
+            dx_flat = -linalg.dense_solve(J, rdot_flat)
+            return x, unravel(dx_flat)
+
+        def step_pure_fwd(state1_guess, state0, control, prop, dt,
+                          params=_params_key(None)):
+            from ..solvers.newton import SolveInfo
+
+            x = step_ift_f(state1_guess, state0, control, prop, dt, params)
+            info = SolveInfo(
+                num_iter=jnp.array(0),
+                abs_err=jnp.array(0.0),
+                rel_err=jnp.array(0.0),
+            )
+            return x, info
+
+        self.step_pure_fwd = step_pure_fwd
