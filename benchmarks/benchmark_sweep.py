@@ -1,0 +1,85 @@
+"""
+Benchmark the batched parameter sweep — BASELINE config 5: "256 vmapped M5
+geometry/stiffness variants across TPU cores" (the reference is strictly
+serial, reference ``models/fsi.py:38-39``).
+
+Reports variant-timesteps/sec: (n_variants * n_steps) / wall_time.
+"""
+
+import time
+
+import numpy as np
+
+from benchmarkutils import setup_argument_parser
+from setup import setup_model, setup_transient_args
+
+
+def main():
+    parser = setup_argument_parser()
+    parser.add_argument("--batch", type=int, default=256)
+    parser.add_argument("--steps", type=int, default=100)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from vf_fem_tpu import forward
+
+    model = setup_model()
+    state0_bv, control, prop = setup_transient_args(model)
+    model.set_prop(prop)
+
+    state0 = {
+        k: jnp.zeros_like(jnp.asarray(np.asarray(v)))
+        for k, v in state0_bv.sub_items()
+    }
+    cs = forward._stack_controls(model, [control])
+    prop_d = model.prop_to_dict(prop)
+    times = jnp.asarray(1e-4 * np.arange(args.steps + 1))
+
+    batch = args.batch
+    prop_batch = {
+        k: jnp.broadcast_to(jnp.asarray(v), (batch,) + np.asarray(v).shape)
+        for k, v in prop_d.items()
+    }
+    emods = jnp.linspace(4e4, 6e4, batch)[:, None]
+    prop_batch = dict(prop_batch)
+    prop_batch["emod"] = jnp.broadcast_to(
+        emods, (batch,) + np.asarray(prop_d["emod"]).shape
+    ).astype(jnp.asarray(prop_d["emod"]).dtype)
+
+    tol = {"jacobian_update": "once_per_step", "stagnation_ratio": 0.5}
+
+    def run_one(p):
+        fin, traj, infos = forward.integrate_pure(
+            model, state0, cs, p, times, tol
+        )
+        return fin
+
+    run_batch = jax.jit(jax.vmap(run_one))
+
+    t0 = time.perf_counter()
+    fin = run_batch(prop_batch)
+    jax.tree_util.tree_map(lambda a: a.block_until_ready(), fin)
+    compile_time = time.perf_counter() - t0
+
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fin = run_batch(prop_batch)
+        jax.tree_util.tree_map(lambda a: a.block_until_ready(), fin)
+        best = min(best, time.perf_counter() - t0)
+
+    vps = batch * args.steps / best
+    print(
+        f"sweep: {batch} variants x {args.steps} steps in {best:.2f} s"
+        f" -> {vps:.0f} variant-steps/s (compile {compile_time:.1f} s)"
+    )
+    u = np.asarray(fin["u"])
+    assert np.all(np.isfinite(u))
+    print(f"variant u_max range: [{np.abs(u).max(axis=1).min():.3e},"
+          f" {np.abs(u).max(axis=1).max():.3e}]")
+
+
+if __name__ == "__main__":
+    main()
