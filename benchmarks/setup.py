@@ -7,6 +7,14 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import jax
+
+# accelerator benchmarks run f32 (TPU has no f64 LU); set before the
+# package import pins precision
+if jax.devices()[0].platform != "cpu":
+    os.environ["VF_FEM_TPU_X64"] = "0"
+    jax.config.update("jax_enable_x64", False)
+
 import numpy as np
 
 from vf_fem_tpu.load import load_fsi_model
