@@ -59,6 +59,18 @@ def _get_scan_fn(
 
     step_pure = model.step_pure if mode == "rev" else model.step_pure_fwd
 
+    # Stale-factor quasi-Newton: refresh the (expensive) Jacobian
+    # factorization only every K steps, carrying the factors through the
+    # scan.  Residual-certified convergence keeps the trajectory exact to
+    # the solver tolerance; K amortizes the assembly+factor cost.
+    refresh_k = int(dict(params).get("jacobian_refresh_steps", 1))
+    use_stale = (
+        refresh_k > 1
+        and mode == "rev"
+        and hasattr(model, "factorize")
+        and hasattr(model, "step_pure_stale")
+    )
+
     def step(state0, control, prop, dt):
         state1, info = step_pure(state0, state0, control, prop, dt, params)
         return state1, info
@@ -70,17 +82,44 @@ def _get_scan_fn(
         dts = jnp.diff(times)
         n_steps = dts.shape[0]
 
-        def body(carry, xs):
-            dt, n = xs
+        def control_at(n):
             idx = jnp.minimum(n, n_controls - 1)
-            control = jax.tree_util.tree_map(
+            return jax.tree_util.tree_map(
                 lambda a: a[idx], controls_stacked
             )
-            state1, info = step(carry, control, prop, dt)
-            return state1, (state1, info)
 
-        fin_state, (traj, infos) = jax.lax.scan(
-            body, ini_state, (dts, jnp.arange(n_steps))
+        if not use_stale:
+
+            def body(carry, xs):
+                dt, n = xs
+                state1, info = step(carry, control_at(n), prop, dt)
+                return state1, (state1, info)
+
+            fin_state, (traj, infos) = jax.lax.scan(
+                body, ini_state, (dts, jnp.arange(n_steps))
+            )
+            return fin_state, traj, infos
+
+        factors0 = model.factorize(
+            ini_state, control_at(0), prop, dts[0], params
+        )
+
+        def body(carry, xs):
+            state0, factors = carry
+            dt, n = xs
+            control = control_at(n)
+            factors = jax.lax.cond(
+                n % refresh_k == 0,
+                lambda: model.factorize(state0, control, prop, dt, params),
+                lambda: factors,
+            )
+            state1, info = model.step_pure_stale(
+                state0, factors, state0, control, prop, dt, params
+            )
+            return (state1, factors), (state1, info)
+
+        (fin_state, _), (traj, infos) = jax.lax.scan(
+            body, (ini_state, factors0), (dts, jnp.arange(n_steps))
         )
         return fin_state, traj, infos
 

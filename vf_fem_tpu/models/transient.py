@@ -463,6 +463,68 @@ class SolidModel(BaseTransientModel):
         self.solve_state1_pure = solve_state1_pure
         self.step_pure = solve_state1_pure
 
+        # ---- Stale-factor quasi-Newton (Jacobian refresh every K steps) ----
+        # The frozen factors are a *solver internal*: the converged state
+        # satisfies R(u1) = 0 regardless, so IFT gradients stay exact with
+        # zero sensitivity through the factors.
+        def factorize(state0, control, prop, dt, params=_params_key(None)):
+            """Factor the Jacobian at the Newmark-predictor point."""
+            u_lin = _initial_guess(None, state0, dt, params)
+            A = jac_u_dense(u_lin, state0, control, prop, dt)
+            return linalg.dense_factor(A)
+
+        self.factorize = factorize
+
+        @partial(jax.custom_vjp, nondiff_argnums=(6,))
+        def solve_u1_stale(u_guess, factors, state0, control, prop, dt, params):
+            def assem(u1):
+                return res_u(u1, state0, control, prop, dt)
+
+            def solve_jac(u1, r):
+                return linalg.dense_factor_solve(factors, r)
+
+            return newton_solve(u_guess, assem, solve_jac, dict(params))
+
+        def solve_u1_stale_fwd(u_guess, factors, state0, control, prop, dt,
+                               params):
+            u1, info = solve_u1_stale(
+                u_guess, factors, state0, control, prop, dt, params
+            )
+            return (u1, info), (u1, factors, state0, control, prop, dt)
+
+        def solve_u1_stale_bwd(params, saved, cotangents):
+            u1, factors, state0, control, prop, dt = saved
+            u1_bar, _ = cotangents
+            A = jac_u_dense(u1, state0, control, prop, dt)
+            lam = linalg.dense_solve_transpose(A, u1_bar)
+            _, vjp = jax.vjp(
+                lambda s0, c, p, t: res_u(u1, s0, c, p, t),
+                state0, control, prop, dt,
+            )
+            g_state0, g_control, g_prop, g_dt = vjp(-lam)
+            g_guess = jnp.zeros_like(u1)
+            # the solver's internal factors carry no sensitivity (the root
+            # of R is independent of how it was found)
+            g_factors = jax.tree_util.tree_map(jnp.zeros_like, factors)
+            return (g_guess, g_factors, g_state0, g_control, g_prop, g_dt)
+
+        solve_u1_stale.defvjp(solve_u1_stale_fwd, solve_u1_stale_bwd)
+
+        def solve_state1_stale(state1_guess, factors, state0, control, prop,
+                               dt, params=_params_key(None)):
+            u_guess = _initial_guess(state1_guess, state0, dt, params)
+            u1, info = solve_u1_stale(
+                u_guess, factors, state0, control, prop, dt, params
+            )
+            u1_2d = u1.reshape(nvert, dim)
+            u0, v0, a0 = _elem_state0(state0)
+            v1 = newmark.newmark_v(u1_2d, u0, v0, a0, dt).reshape(-1)
+            a1 = newmark.newmark_a(u1_2d, u0, v0, a0, dt).reshape(-1)
+            return {"u": u1, "v": v1, "a": a1}, info
+
+        self.solve_state1_stale = solve_state1_stale
+        self.step_pure_stale = solve_state1_stale
+
         # ---- Static problem (u0 := u1, v1 = a1 = 0) ----
         # The reference recovers statics by substituting u0 := u1 so the
         # Newmark updates vanish (reference: ``static.py:1-20,118-124``).
@@ -1005,6 +1067,35 @@ class ExplicitFSIModel(BaseTransientFSIModel):
             return {**uva1, **qp1}, info
 
         self.step_pure = step_pure
+
+        def factorize(state0, control, prop, dt, params=_params_key(None)):
+            sl_prop, _ = self._split_prop(prop)
+            p_solid = self._pressure_to_solid(state0["p"])
+            sl_state0 = {k: state0[k] for k in ("u", "v", "a")}
+            return solid.factorize(
+                sl_state0, {"p1": p_solid}, sl_prop, dt, params
+            )
+
+        self.factorize = factorize
+
+        def step_pure_stale(state1_guess, factors, state0, control, prop, dt,
+                            params=_params_key(None)):
+            sl_prop, fl_prop = self._split_prop(prop)
+            p_solid = self._pressure_to_solid(state0["p"])
+            sl_state0 = {k: state0[k] for k in ("u", "v", "a")}
+            sl_guess = {k: state1_guess[k] for k in ("u", "v", "a")}
+            uva1, info = solid.solve_state1_stale(
+                sl_guess, factors, sl_state0, {"p1": p_solid}, sl_prop, dt,
+                params,
+            )
+            area = self._area_from_u1(uva1["u"], prop)
+            fl_control = {"area": area, **{k: control[k] for k in control}}
+            qp1 = fluid.solve_pure(
+                fl_control, fl_prop, {"q": state0["q"], "p": state0["p"]}
+            )
+            return {**uva1, **qp1}, info
+
+        self.step_pure_stale = step_pure_stale
 
         def step_pure_fwd(state1_guess, state0, control, prop, dt,
                           params=_params_key(None)):
