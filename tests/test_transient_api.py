@@ -117,3 +117,21 @@ def test_solve_dres_dstate1_roundtrip(model):
     lhs = float(np.dot(b2.to_mono_ndarray(), x.to_mono_ndarray()))
     rhs = float(np.dot(x2.to_mono_ndarray(), b.to_mono_ndarray()))
     np.testing.assert_allclose(lhs, rhs, rtol=1e-9)
+
+
+def test_cg_newton_matches_dense(model):
+    """Matrix-free Newton-Krylov (EBE + BiCGStab) reproduces the dense-LU
+    solve (SURVEY 2.9: PETSc -> TPU-resident preconditioned Krylov)."""
+    model.dt = 1e-4
+    state0 = model.state0.copy()
+    state1_dense, info_d = model.solve_state1(state0)
+    state1_cg, info_c = model.solve_state1(
+        state0, options={"linear_solver": "cg", "krylov_tolerance": 1e-12}
+    )
+    assert info_c["abs_err"] < 1e-6
+    np.testing.assert_allclose(
+        state1_cg.to_mono_ndarray(),
+        state1_dense.to_mono_ndarray(),
+        rtol=1e-6,
+        atol=1e-10,
+    )

@@ -263,7 +263,10 @@ class SolidModel(BaseTransientModel):
             a0 = state0["a"].reshape(nvert, dim)
             return u0, v0, a0
 
-        def jac_u_dense(u1_flat, state0, control, prop, dt):
+        def jac_u_blocks(u1_flat, state0, control, prop, dt):
+            """Per-element Jacobian blocks (Jc, Jf) of the Newton 'u'
+            residual — shared by the dense and the matrix-free (EBE)
+            assemblies."""
             u1 = u1_flat.reshape(nvert, dim)
             u0, v0, a0 = _elem_state0(state0)
             prop_fields = self._prop_fields(prop)
@@ -291,8 +294,8 @@ class SolidModel(BaseTransientModel):
             Jc = jax.vmap(jax.jacfwd(cell_fn), in_axes=(0, 0, 0, axes_c))(
                 u1[cells], Xe_c, s0_c, local_c
             ).reshape(-1, nld, nld)
-            A = assembly.scatter_dense_jacobian(Jc, cell_dofs, ndof)
 
+            Jf = None
             if has_facets:
                 local_f, axes_f = R.gather_facet_locals(fields)
                 cell_verts = cells[fcells]
@@ -329,12 +332,37 @@ class SolidModel(BaseTransientModel):
                     s0_f,
                     local_f,
                 ).reshape(-1, nld, nld)
-                A = assembly.scatter_dense_jacobian(Jf, facet_cell_dofs, ndof, A)
+            return Jc, Jf
 
+        self.jac_u_blocks = jac_u_blocks
+
+        def jac_u_dense(u1_flat, state0, control, prop, dt):
+            Jc, Jf = jac_u_blocks(u1_flat, state0, control, prop, dt)
+            A = assembly.scatter_dense_jacobian(Jc, cell_dofs, ndof)
+            if Jf is not None:
+                A = assembly.scatter_dense_jacobian(
+                    Jf, facet_cell_dofs, ndof, A
+                )
             A = assembly.apply_dirichlet_rows(A, bc_dofs)
             return A
 
         self.jac_u_dense = jac_u_dense
+
+        def jac_u_ebe(u1_flat, state0, control, prop, dt):
+            """Matrix-free element-by-element operator — the TPU-native
+            sparse Jacobian for meshes beyond dense-LU scale (SURVEY 2.9:
+            'TPU-resident preconditioned Krylov with Pallas SpMV')."""
+            Jc, Jf = jac_u_blocks(u1_flat, state0, control, prop, dt)
+            return assembly.EBEOperator(
+                J_cells=Jc,
+                cell_dofs=jnp.asarray(cell_dofs),
+                J_facets=Jf,
+                facet_dofs=jnp.asarray(facet_cell_dofs),
+                ndof=ndof,
+                bc_dofs=jnp.asarray(bc_dofs),
+            )
+
+        self.jac_u_ebe = jac_u_ebe
 
         # ---- Pure Newton solve with IFT adjoint ----
         def _solve_u1_fwd_only(u_guess, state0, control, prop, dt, params):
@@ -343,7 +371,21 @@ class SolidModel(BaseTransientModel):
             def assem(u1):
                 return res_u(u1, state0, control, prop, dt)
 
-            if params_d.get("jacobian_update", "every_iteration") == (
+            if params_d.get("linear_solver", "dense") == "cg":
+                # Matrix-free Newton-Krylov: Jacobi-preconditioned BiCGStab
+                # on the EBE operator (no global matrix ever materialized)
+                def solve_jac(u1, r):
+                    op = jac_u_ebe(u1, state0, control, prop, dt)
+                    result = linalg.bicgstab(
+                        op.matvec,
+                        r,
+                        precond_diag=op.diagonal(),
+                        tol=params_d.get("krylov_tolerance", 1e-8),
+                        max_iter=params_d.get("krylov_max_iter", 2000),
+                    )
+                    return result.x
+
+            elif params_d.get("jacobian_update", "every_iteration") == (
                 "once_per_step"
             ):
                 # Modified Newton: factor the Jacobian once at the step's

@@ -123,16 +123,50 @@ def bicgstab(
     atol: float = 1e-12,
     max_iter: int = 1000,
 ) -> CGResult:
-    """Jacobi-preconditioned BiCGStab for nonsymmetric EBE operators."""
+    """
+    Jacobi-preconditioned BiCGStab for nonsymmetric EBE operators.
+
+    Hand-rolled ``while_loop`` (jax's wrapper requires a transposable
+    matvec, which scatter-add EBE operators are not); AD never flows
+    through this solver — Newton's IFT rules own the derivatives.
+    """
     if x0 is None:
         x0 = jnp.zeros_like(b)
     Minv = 1.0 if precond_diag is None else 1.0 / precond_diag
 
-    def M(v):
-        return Minv * v
+    r0 = b - matvec(x0)
+    rhat = r0
+    bnorm = jnp.linalg.norm(b)
+    target = jnp.maximum(tol * bnorm, atol)
+    eps = jnp.asarray(1e-30, dtype=b.dtype)
 
-    x, info = jax.scipy.sparse.linalg.bicgstab(
-        matvec, b, x0=x0, tol=tol, atol=atol, maxiter=max_iter, M=M
-    )
-    r = b - matvec(x)
-    return CGResult(x=x, n_iter=jnp.array(-1), res_norm=jnp.linalg.norm(r))
+    init = (x0, r0, jnp.zeros_like(b), jnp.zeros_like(b),
+            jnp.asarray(1.0, b.dtype), jnp.asarray(1.0, b.dtype),
+            jnp.asarray(1.0, b.dtype), 0)
+
+    def cond(carry):
+        x, r, p, v, rho, alpha, omega, k = carry
+        return jnp.logical_and(jnp.linalg.norm(r) > target, k < max_iter)
+
+    def body(carry):
+        x, r, p, v, rho, alpha, omega, k = carry
+        rho_new = jnp.vdot(rhat, r)
+        beta = (rho_new / jnp.where(rho == 0, eps, rho)) * (
+            alpha / jnp.where(omega == 0, eps, omega)
+        )
+        p = r + beta * (p - omega * v)
+        phat = Minv * p
+        v = matvec(phat)
+        denom = jnp.vdot(rhat, v)
+        alpha = rho_new / jnp.where(denom == 0, eps, denom)
+        s = r - alpha * v
+        shat = Minv * s
+        t = matvec(shat)
+        tt = jnp.vdot(t, t)
+        omega = jnp.vdot(t, s) / jnp.where(tt == 0, eps, tt)
+        x = x + alpha * phat + omega * shat
+        r = s - omega * t
+        return (x, r, p, v, rho_new, alpha, omega, k + 1)
+
+    x, r, p, v, rho, alpha, omega, k = jax.lax.while_loop(cond, body, init)
+    return CGResult(x=x, n_iter=k, res_norm=jnp.linalg.norm(r))
