@@ -130,3 +130,44 @@ def test_windowed_integration_matches(model):
     )
     for k in ("u", "v", "a", "q", "p"):
         np.testing.assert_allclose(fin_a[k], fin_b[k], rtol=1e-10, atol=1e-14)
+
+
+def test_integrate_linear_matches_fd(model, tmp_path):
+    """Tangent propagation (reference ``integrate_linear``,
+    ``forward.py:189-244``) matches a finite difference of the forward run."""
+    times = 2e-5 * np.arange(6)
+    ini_state = model.state0.copy()
+    ini_state[:] = 0.0
+    path = str(tmp_path / "lin.h5")
+    with sf.StateFile(model, path, mode="w") as f:
+        forward.integrate(model, f, ini_state, [model.control], model.prop, times)
+
+        # perturbation direction: uniform psub bump
+        dcontrol = model.control.copy()
+        dcontrol[:] = 0.0
+        dcontrol["psub"][:] = 1.0
+        dstate = ini_state.copy()
+        dstate[:] = 0.0
+        dprop = model.prop.copy()
+        dprop[:] = 0.0
+        dtimes = np.zeros_like(times)
+
+        dfin = forward.integrate_linear(
+            model, f, dstate, [dcontrol], dprop, dtimes
+        )
+
+    h = 1.0
+    cp, cm = model.control.copy(), model.control.copy()
+    cp["psub"][:] = cp["psub"] + h
+    cm["psub"][:] = cm["psub"] - h
+    fp, _ = forward.integrate(
+        model, None, ini_state, [cp], model.prop, times, write=False
+    )
+    fm, _ = forward.integrate(
+        model, None, ini_state, [cm], model.prop, times, write=False
+    )
+    for k in ("u", "q", "p"):
+        fd = (np.asarray(fp[k]) - np.asarray(fm[k])) / (2 * h)
+        np.testing.assert_allclose(
+            np.asarray(dfin[k]), fd, rtol=1e-4, atol=1e-12
+        )

@@ -42,3 +42,32 @@ def test_fsi_trajectory_matches_golden():
     np.testing.assert_allclose(
         np.asarray(traj["p"])[-1], data["p_final"], rtol=1e-8, atol=1e-8
     )
+
+
+GOLDEN_IMP = os.path.join(
+    os.path.dirname(__file__), "data", "golden_fsi_implicit.npz"
+)
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN_IMP), reason="no golden data")
+def test_implicit_fsi_trajectory_matches_golden():
+    data = np.load(GOLDEN_IMP)
+    times = data["times"]
+
+    model = make_vf_fsi_model(
+        FluidResidual=flr.BernoulliSmoothMinSep, coupling="implicit",
+        nx=8, ny=4,
+    )
+    ini = model.state0.copy()
+    ini[:] = 0.0
+    state0 = {k: np.asarray(v) for k, v in ini.sub_items()}
+    cs = forward._stack_controls(model, [model.control])
+    prop = model.prop_to_dict(model.prop)
+    fin, traj, infos = forward.integrate_pure(model, state0, cs, prop, times)
+
+    np.testing.assert_allclose(
+        np.asarray(traj["u"])[::6], data["u"], rtol=1e-8, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj["q"]).ravel(), data["q"], rtol=1e-8
+    )
