@@ -34,7 +34,7 @@ Key translations from the reference:
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Optional
+from typing import Optional
 
 import numpy as np
 import jax
@@ -372,17 +372,28 @@ class SolidModel(BaseTransientModel):
                 return res_u(u1, state0, control, prop, dt)
 
             if params_d.get("linear_solver", "dense") == "cg":
-                # Matrix-free Newton-Krylov: Jacobi-preconditioned BiCGStab
-                # on the EBE operator (no global matrix ever materialized)
+                # Matrix-free Newton-Krylov: preconditioned BiCGStab on the
+                # EBE operator (no global matrix ever materialized).
+                use_block = params_d.get(
+                    "preconditioner", "block_jacobi"
+                ) == "block_jacobi"
+
                 def solve_jac(u1, r):
                     op = jac_u_ebe(u1, state0, control, prop, dt)
-                    result = linalg.bicgstab(
-                        op.matvec,
-                        r,
-                        precond_diag=op.diagonal(),
-                        tol=params_d.get("krylov_tolerance", 1e-8),
-                        max_iter=params_d.get("krylov_max_iter", 2000),
-                    )
+                    if use_block:
+                        Dinv = op.block_diag_inverse(dim)
+                        pre = lambda v: op.block_jacobi_apply(Dinv, v)
+                        result = linalg.bicgstab(
+                            op.matvec, r, precond=pre,
+                            tol=params_d.get("krylov_tolerance", 1e-8),
+                            max_iter=params_d.get("krylov_max_iter", 2000),
+                        )
+                    else:
+                        result = linalg.bicgstab(
+                            op.matvec, r, precond_diag=op.diagonal(),
+                            tol=params_d.get("krylov_tolerance", 1e-8),
+                            max_iter=params_d.get("krylov_max_iter", 2000),
+                        )
                     return result.x
 
             elif params_d.get("jacobian_update", "every_iteration") == (

@@ -12,7 +12,6 @@ Replaces PETSc KSP/LU (reference: ``dfn.solve(A, x, b, 'petsc')`` at
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax
@@ -119,12 +118,14 @@ def bicgstab(
     b: jnp.ndarray,
     x0: jnp.ndarray = None,
     precond_diag: jnp.ndarray = None,
+    precond: Callable = None,
     tol: float = 1e-10,
     atol: float = 1e-12,
     max_iter: int = 1000,
 ) -> CGResult:
     """
-    Jacobi-preconditioned BiCGStab for nonsymmetric EBE operators.
+    Preconditioned BiCGStab for nonsymmetric EBE operators
+    (``precond`` callable wins over the Jacobi ``precond_diag``).
 
     Hand-rolled ``while_loop`` (jax's wrapper requires a transposable
     matvec, which scatter-add EBE operators are not); AD never flows
@@ -132,7 +133,13 @@ def bicgstab(
     """
     if x0 is None:
         x0 = jnp.zeros_like(b)
-    Minv = 1.0 if precond_diag is None else 1.0 / precond_diag
+    if precond is not None:
+        Minv_apply = precond
+    else:
+        Minv = 1.0 if precond_diag is None else 1.0 / precond_diag
+
+        def Minv_apply(v):
+            return Minv * v
 
     r0 = b - matvec(x0)
     rhat = r0
@@ -155,12 +162,12 @@ def bicgstab(
             alpha / jnp.where(omega == 0, eps, omega)
         )
         p = r + beta * (p - omega * v)
-        phat = Minv * p
+        phat = Minv_apply(p)
         v = matvec(phat)
         denom = jnp.vdot(rhat, v)
         alpha = rho_new / jnp.where(denom == 0, eps, denom)
         s = r - alpha * v
-        shat = Minv * s
+        shat = Minv_apply(s)
         t = matvec(shat)
         tt = jnp.vdot(t, t)
         omega = jnp.vdot(t, s) / jnp.where(tt == 0, eps, tt)
