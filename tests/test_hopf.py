@@ -1,0 +1,55 @@
+"""
+Linear stability / Hopf analysis (the consumer of the dynamical models,
+SURVEY section 3.5): phonation onset appears between low and high
+subglottal pressure, consistent with the nonlinear oscillation test.
+"""
+
+import numpy as np
+import pytest
+
+from vf_fem_tpu.load import load_fsi_model
+from vf_fem_tpu.mesh import vocal_fold_mesh
+from vf_fem_tpu.misc.hopf import growth_rate_and_frequency, linear_stability
+from vf_fem_tpu.residuals import fluid as flr, solid as slr
+
+
+@pytest.mark.slow
+def test_phonation_onset():
+    mesh = vocal_fold_mesh(8, 4)
+    ymax = mesh.coords[:, 1].max()
+
+    def make(model_type):
+        m = load_fsi_model(
+            mesh, slr.KelvinVoigt, flr.BernoulliSmoothMinSep,
+            model_type=model_type,
+        )
+        p = m.prop
+        p["emod"][:] = 3e4
+        p["rho"][:] = 1.0
+        p["eta"][:] = 2.0
+        p["ycontact"][:] = ymax + 0.05
+        p["kcontact"][:] = 1e8
+        p["rho_air"][:] = 1.1225e-3
+        p["zeta_min"][:] = 1e-3
+        p["zeta_sep"][:] = 1e-3
+        p["ymid"][:] = ymax + 0.01
+        m.set_prop(p)
+        return m
+
+    tm = make("transient")
+    dm = make("dynamical")
+
+    sigmas = {}
+    for psub in (1000.0, 8000.0):
+        c = tm.control.copy()
+        c["psub"][:] = psub
+        c["psup"][:] = 0.0
+        eigs, eq = linear_stability(tm, dm, c, tm.prop)
+        sig, f = growth_rate_and_frequency(eigs)
+        sigmas[psub] = (sig, f)
+
+    # damped at low pressure, self-oscillating at high pressure
+    assert sigmas[1000.0][0] < 0, sigmas
+    assert sigmas[8000.0][0] > 0, sigmas
+    # unstable-mode frequency in the phonation range
+    assert 30.0 < sigmas[8000.0][1] < 1000.0
