@@ -171,3 +171,49 @@ def test_integrate_linear_matches_fd(model, tmp_path):
         np.testing.assert_allclose(
             np.asarray(dfin[k]), fd, rtol=1e-4, atol=1e-12
         )
+
+
+def test_line_search(model, tmp_path):
+    """Batched line search writes per-step groups with consistent runs
+    (reference: ``utils.py:16-57``)."""
+    from vf_fem_tpu.utils import line_search
+
+    times = 2e-5 * np.arange(5)
+    ini_state = model.state0.copy()
+    ini_state[:] = 0.0
+    dstate = ini_state.copy()
+    dstate[:] = 0.0
+    dcontrol = model.control.copy()
+    dcontrol[:] = 0.0
+    dcontrol["psub"][:] = 1000.0
+    dprop = model.prop.copy()
+    dprop[:] = 0.0
+
+    path = str(tmp_path / "ls.h5")
+    line_search(
+        [0.0, 1.0],
+        model,
+        ini_state,
+        [model.control],
+        model.prop,
+        times,
+        dstate,
+        [dcontrol],
+        dprop,
+        np.zeros_like(times),
+        filepath=path,
+    )
+
+    # h=1 run equals a direct run at psub + 1000
+    c1 = model.control.copy()
+    c1["psub"][:] = c1["psub"] + 1000.0
+    fin_direct, _ = forward.integrate(
+        model, None, ini_state, [c1], model.prop, times, write=False
+    )
+    with sf.StateFile(model, path, group="1", mode="r") as f:
+        assert f.size == len(times)
+        stored = f.get_state(f.size - 1)
+    for k in ("u", "q", "p"):
+        np.testing.assert_allclose(
+            stored[k], fin_direct[k], rtol=1e-10, atol=1e-14
+        )
