@@ -96,6 +96,17 @@ class FemResidual:
         )
 
     # -- Reference-compatible accessors ---------------------------------
+    @property
+    def form(self):
+        """
+        Mapping-style view over the residual's coefficient keys
+        (reference code queries ``residual.form`` for coefficient presence,
+        e.g. ``'prop/umesh' in residual.form``,
+        ``src/femvf/models/transient.py:349``).  Values are the
+        :class:`CoeffSpec`s — the symbolic-coefficient analog here.
+        """
+        return self.coefficient_spec
+
     def mesh(self) -> Mesh:
         return self._mesh
 
