@@ -10,7 +10,12 @@ from typing import Any, Optional, Sequence, Union
 
 import numpy as np
 
-from .mesh import Mesh, derive_1d_interface, load_gmsh
+from .mesh import (
+    Mesh,
+    derive_1d_interface,
+    load_gmsh,
+    locate_separation_vertex,
+)
 from .residuals import fluid as flr
 from .residuals import solid as slr
 from .models import dynamical, transient
@@ -95,6 +100,21 @@ def load_fsi_model(
     s, dofs_fsi_solid, dofs_fsi_fluid = derive_1d_interface(
         mesh, fluid_interface_subdomains, zs
     )
+
+    # Fixed-separation fluids: derive idx_sep from the mesh's 'separation'
+    # vertex label when not given (resolves the reference's TODO at
+    # ``residuals/fluid.py:56-57``).
+    needs_idx = FluidResidual in (
+        flr.BernoulliFixedSep, flr.BernoulliFlowFixedSep
+    )
+    if needs_idx and "idx_sep" not in fluid_kwargs:
+        try:
+            sep_vert = locate_separation_vertex(mesh)
+            matches = np.nonzero(np.asarray(dofs_fsi_solid) == sep_vert)[0]
+            if len(matches):
+                fluid_kwargs = {**fluid_kwargs, "idx_sep": int(matches[0])}
+        except ValueError:
+            pass  # no separation label; the residual's default applies
 
     fluid = load_fluid_model(
         s, FluidResidual, model_type=model_type, **fluid_kwargs
