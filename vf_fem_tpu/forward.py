@@ -13,7 +13,7 @@ Units are CGS (reference: ``forward.py:4``).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import numpy as np
 import jax

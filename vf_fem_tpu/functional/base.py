@@ -16,8 +16,6 @@ forward formula.  The reference's per-file value caching is kept.
 from __future__ import annotations
 
 import operator
-from typing import Callable, Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp

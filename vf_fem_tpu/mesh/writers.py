@@ -10,8 +10,6 @@ package's parser, gmsh, and meshio alike).
 
 from __future__ import annotations
 
-import numpy as np
-
 from .core import Mesh
 
 # element type codes per dimension-of-entity and vertex count

@@ -25,8 +25,6 @@ LRU cache (``statefile.py:443-523``).  A small row cache
 from __future__ import annotations
 
 from collections import OrderedDict
-from typing import Any, Optional
-
 import h5py
 import numpy as np
 

@@ -11,7 +11,7 @@ static configurations alternate solid and fluid solves (Picard)
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import numpy as np
 import jax.numpy as jnp
