@@ -46,10 +46,14 @@ def build(backend_f64: bool):
 
     jax.config.update("jax_enable_x64", backend_f64)
     from vf_fem_tpu.load import load_fsi_model
-    from vf_fem_tpu.mesh import vocal_fold_mesh
+    from vf_fem_tpu.mesh import load_gmsh, m5_mesh
     from vf_fem_tpu.residuals import fluid as flr, solid as slr
 
-    mesh = vocal_fold_mesh(24, 12)
+    # The reference benchmark geometry: the M5-3layers CAD profile
+    # (reference ``benchmarks/benchmark_forward.py:28`` meshes
+    # ``meshes/M5-3layers.msh``); loaded from the committed asset.
+    msh = os.path.join(os.path.dirname(__file__), "meshes", "M5_3layers.msh")
+    mesh = load_gmsh(msh) if os.path.exists(msh) else m5_mesh("M5_3layers")
     ymax = mesh.coords[:, 1].max()
     model = load_fsi_model(
         mesh,
@@ -111,7 +115,22 @@ def run_device(model, device, tolerances):
         fin, infos = once()
         best = min(best, time.perf_counter() - t0)
     tps = N_STEPS / best
-    return tps, compile_time, fin, infos
+
+    # Achieved-FLOP/s estimate from XLA's static cost analysis of the
+    # compiled scan program (flops per full run / best wall time).
+    flops = None
+    try:
+        from vf_fem_tpu.models.transient import _params_key
+        from vf_fem_tpu.forward import _get_scan_fn
+
+        fn = _get_scan_fn(model, _params_key(tolerances), 1)
+        cost = fn.lower(state0, controls, prop, times).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) / best
+    except Exception as e:  # cost analysis is best-effort
+        log(f"cost_analysis unavailable: {e}")
+    return tps, compile_time, fin, infos, flops
 
 
 def main():
@@ -139,7 +158,9 @@ def main():
     model = build(f64)
     log(f"device: {default}, ndof={model.solid.ndof}, f64={f64}")
 
-    tps_dev, ct_dev, fin_dev, infos_dev = run_device(model, default, tol_dev)
+    tps_dev, ct_dev, fin_dev, infos_dev, flops_dev = run_device(
+        model, default, tol_dev
+    )
     log(
         f"{default.platform}: {tps_dev:.1f} steps/s"
         f" (compile {ct_dev:.1f}s, max_iter"
@@ -150,7 +171,7 @@ def main():
     vs_baseline = 1.0
     if on_accel:
         cpu = jax.devices("cpu")[0]
-        tps_cpu, ct_cpu, fin_cpu, _ = run_device(model, cpu, tol_cpu)
+        tps_cpu, ct_cpu, fin_cpu, _, _ = run_device(model, cpu, tol_cpu)
         log(f"cpu: {tps_cpu:.1f} steps/s (compile {ct_cpu:.1f}s)")
         vs_baseline = tps_dev / tps_cpu
         # sanity: device and CPU trajectories agree
@@ -159,17 +180,18 @@ def main():
         ).max()
         log(f"max |u_dev - u_cpu| = {du:.3e}")
 
-    print(
-        json.dumps(
-            {
-                "metric": "forward FSI timesteps/sec, M5-scale mesh "
-                "(KelvinVoigtWEpithelium + BernoulliAreaRatioSep, explicit)",
-                "value": round(tps_dev, 2),
-                "unit": "steps/s",
-                "vs_baseline": round(vs_baseline, 3),
-            }
-        )
-    )
+    out = {
+        "metric": "forward FSI timesteps/sec, M5-3layers CAD mesh "
+        "(KelvinVoigtWEpithelium + BernoulliAreaRatioSep, explicit)",
+        "value": round(tps_dev, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(vs_baseline, 3),
+    }
+    if flops_dev:
+        # v5e bf16 peak = 197 Tflop/s/chip; f32 (3-pass bf16) ~ 1/4 of it
+        out["flops_est"] = round(flops_dev / 1e9, 2)
+        out["mfu_est"] = round(flops_dev / (197e12 / 4), 6)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -48,7 +48,17 @@ def main():
         emods, (batch,) + np.asarray(prop_d["emod"]).shape
     ).astype(jnp.asarray(prop_d["emod"]).dtype)
 
-    tol = {"jacobian_update": "once_per_step", "stagnation_ratio": 0.5}
+    # Stale-factor quasi-Newton with Newton–Schulz inverse refresh: the
+    # per-window Jacobian update is two batched matmuls (MXU) instead of a
+    # batched LU, and the nested-scan integrator hoists all refreshes out
+    # of the per-step body — that combination is what makes the sweep
+    # scale under vmap (one LU per variant per full-refresh window only).
+    tol = {
+        "jacobian_refresh_steps": 8,
+        "jacobian_refresh_mode": "ns",
+        "jacobian_full_refresh_windows": 8,
+        "stagnation_ratio": 0.5,
+    }
 
     def run_one(p):
         fin, traj, infos = forward.integrate_pure(

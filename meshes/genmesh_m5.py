@@ -1,7 +1,9 @@
 """
-Generate the M5-like vocal-fold meshes as ``.msh`` files
+Generate the M5 vocal-fold meshes as committed ``.msh`` assets
 (the TPU-native replacement for the reference's gmsh/STEP pipeline,
-reference ``meshes/genmesh_M5_CB.py``).
+reference ``meshes/genmesh_M5_CB.py:10-66``): the four medial-angle
+body/cover profiles, their split-cover variants, and the 3-layer profile,
+all triangulated from the extracted CAD control data.
 """
 
 import argparse
@@ -10,23 +12,30 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from vf_fem_tpu.mesh import vocal_fold_mesh
+from vf_fem_tpu.mesh.m5 import m5_mesh, m5_profile_names
 from vf_fem_tpu.mesh.writers import write_gmsh
 
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--nx", type=int, default=24)
-    parser.add_argument("--ny", type=int, default=12)
-    parser.add_argument("--out", default="M5-like.msh")
+    parser.add_argument("--h", type=float, default=0.03,
+                        help="target element size (cm)")
+    parser.add_argument("--outdir", default=os.path.dirname(__file__) or ".")
+    parser.add_argument("--only", default=None,
+                        help="single profile name (default: all)")
     args = parser.parse_args()
 
-    mesh = vocal_fold_mesh(args.nx, args.ny)
-    path = write_gmsh(mesh, args.out)
-    print(
-        f"wrote {path}: {mesh.num_vertices} vertices, {mesh.num_cells} cells,"
-        f" subdomains {dict(mesh.subdomains[1])}"
-    )
+    names = [args.only] if args.only else m5_profile_names()
+    for name in names:
+        mesh = m5_mesh(name, h=args.h)
+        path = write_gmsh(mesh, os.path.join(args.outdir, f"{name}.msh"))
+        print(
+            f"wrote {path}: {mesh.num_vertices} vertices,"
+            f" {mesh.num_cells} cells,"
+            f" cells {dict(mesh.subdomains[2])},"
+            f" facets {dict(mesh.subdomains[1])},"
+            f" points {dict(mesh.subdomains[0])}"
+        )
 
 
 if __name__ == "__main__":

@@ -217,3 +217,41 @@ def test_line_search(model, tmp_path):
         np.testing.assert_allclose(
             stored[k], fin_direct[k], rtol=1e-10, atol=1e-14
         )
+
+
+def test_stale_and_ns_refresh_match_exact(model):
+    """Frozen-Jacobian windows and Newton–Schulz inverse refresh both
+    reproduce the per-step-exact-Jacobian trajectory (the factors are a
+    solver preconditioner; convergence is residual-certified)."""
+    times = 5e-5 * np.arange(91)  # not divisible by the window: tests rem
+    ini_state = model.state0.copy()
+    ini_state[:] = 0.0
+    state0 = {k: np.asarray(v) for k, v in ini_state.sub_items()}
+    cs = forward._stack_controls(model, [model.control])
+    prop = model.prop_to_dict(model.prop)
+
+    fin_ref, traj_ref, _ = forward.integrate_pure(
+        model, state0, cs, prop, times, {"jacobian_refresh_steps": 1}
+    )
+    fin_st, traj_st, info_st = forward.integrate_pure(
+        model, state0, cs, prop, times, {"jacobian_refresh_steps": 8}
+    )
+    fin_ns, traj_ns, info_ns = forward.integrate_pure(
+        model, state0, cs, prop, times,
+        {
+            "jacobian_refresh_steps": 8,
+            "jacobian_refresh_mode": "ns",
+            "jacobian_full_refresh_windows": 4,
+        },
+    )
+    for fin, traj, info in ((fin_st, traj_st, info_st),
+                            (fin_ns, traj_ns, info_ns)):
+        np.testing.assert_allclose(
+            np.asarray(traj["u"]), np.asarray(traj_ref["u"]),
+            rtol=1e-8, atol=1e-11,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fin["u"]), np.asarray(fin_ref["u"]),
+            rtol=1e-8, atol=1e-11,
+        )
+        assert np.all(np.asarray(info.abs_err) < 1e-6)

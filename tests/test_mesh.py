@@ -1,3 +1,5 @@
+import os
+
 import numpy as np
 import pytest
 
@@ -154,3 +156,73 @@ def test_native_meshkit_consistency():
         dist[idx_sort] = np.nan
         idx_sort.append(int(np.nanargmin(dist)))
     np.testing.assert_array_equal(perm_native, idx_sort)
+
+
+# ---------------------------------------------------------------------------
+# M5 (Scherer) geometry: committed assets + profile mesher
+# ---------------------------------------------------------------------------
+
+_REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+def test_committed_m5_mesh_loads():
+    """Parse committed gmsh assets this test did not write
+    (reference geometry pipeline: ``meshes/genmesh_M5_CB.py``)."""
+    from vf_fem_tpu.mesh import load_gmsh
+
+    path = os.path.join(_REPO, "meshes", "M5_3layers.msh")
+    mesh = load_gmsh(path)
+    assert mesh.dim == 2
+    assert set(mesh.subdomains[2]) == {"body", "ligament", "cover"}
+    assert set(mesh.subdomains[1]) == {"pressure", "fixed"}
+    assert {"separation-inf", "separation-sup"} <= set(mesh.subdomains[0])
+    # every region is populated
+    for name, marker in mesh.subdomains[2].items():
+        assert (mesh.mesh_functions[2] == marker).sum() > 0, name
+    # fixed facets lie on y=0
+    fixed = mesh.facets_by_subdomain(["fixed"])
+    ys = mesh.coords[mesh.facets[fixed]][..., 1]
+    assert np.all(np.abs(ys) < 1e-9)
+    # pressure facets form the rest of the boundary
+    pres = mesh.facets_by_subdomain(["pressure"])
+    assert len(pres) + len(fixed) == len(mesh.boundary_facets)
+
+
+@pytest.mark.parametrize("name", ["M5_CB_GA3", "M5_CB_GA0_split"])
+def test_m5_mesher_quality_and_groups(name):
+    """The in-repo triangulator produces well-shaped conforming elements
+    on the exact CAD profiles (reference ``meshes/stp/*.STEP``)."""
+    from vf_fem_tpu.mesh import m5_mesh
+
+    mesh = m5_mesh(name, h=0.04)
+    p = mesh.coords[mesh.cells]
+    a = np.linalg.norm(p[:, 1] - p[:, 0], axis=1)
+    b = np.linalg.norm(p[:, 2] - p[:, 1], axis=1)
+    c = np.linalg.norm(p[:, 0] - p[:, 2], axis=1)
+    s = 0.5 * (a + b + c)
+    area = np.sqrt(np.maximum(s * (s - a) * (s - b) * (s - c), 0.0))
+    q = 4 * np.sqrt(3) * area / (a**2 + b**2 + c**2)
+    assert q.min() > 0.3
+    # area adds up to the polygon area (conforming, no holes/overlaps)
+    from vf_fem_tpu.mesh.m5 import M5_PROFILES, _decode
+
+    _, loops = _decode(M5_PROFILES[name])
+    total = 0.0
+    for loop in loops:
+        pts = []
+        from vf_fem_tpu.mesh.triangulate import edge_points
+
+        for e, fl in loop:
+            seg = edge_points(e, 0.002)
+            if fl:
+                seg = seg[::-1]
+            pts.append(seg[:-1])
+        poly = np.concatenate(pts, 0)
+        x, y = poly[:, 0], poly[:, 1]
+        total += abs(
+            0.5 * np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+        )
+    assert abs(area.sum() - total) / total < 2e-3
+    if name.endswith("_split"):
+        assert set(mesh.subdomains[2]) == {"body", "cover"}
+        assert "separation-mid" in mesh.subdomains[0]

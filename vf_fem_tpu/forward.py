@@ -78,6 +78,14 @@ def _get_scan_fn(
     if use_remat:
         step = jax.checkpoint(step)
 
+    def stale_step(state0, factors, control, prop, dt):
+        return model.step_pure_stale(
+            state0, factors, state0, control, prop, dt, params
+        )
+
+    if use_remat and use_stale:
+        stale_step = jax.checkpoint(stale_step)
+
     def scan_fn(ini_state, controls_stacked, prop, times):
         dts = jnp.diff(times)
         n_steps = dts.shape[0]
@@ -100,27 +108,124 @@ def _get_scan_fn(
             )
             return fin_state, traj, infos
 
-        factors0 = model.factorize(
-            ini_state, control_at(0), prop, dts[0], params
+        # Stale-factor path as a nested scan: the Jacobian is factored once
+        # at the start of each refresh window (outer scan) and the window's
+        # steps reuse it (inner scan).  Hoisting the factorization out of
+        # the per-step body keeps it out of any per-step conditional — under
+        # ``vmap`` (batched sweeps) a data-dependent ``lax.cond`` would be
+        # select-executed, refactoring every variant every step.
+        #
+        # ``jacobian_refresh_mode='ns'`` replaces the per-window LU
+        # factorization with a Newton–Schulz inverse update (matmul-only,
+        # MXU-friendly) carried across windows; a full LU re-factorization
+        # runs every ``jacobian_full_refresh_windows`` windows to reset
+        # accumulated drift.  All refresh decisions key off the (unbatched)
+        # window counter, so vmapped sweeps keep true conditionals.
+        params_d = dict(params)
+        use_ns = (
+            params_d.get("jacobian_refresh_mode", "full") == "ns"
+            and hasattr(model, "refresh_factors")
         )
+        full_every = int(params_d.get("jacobian_full_refresh_windows", 8))
 
-        def body(carry, xs):
-            state0, factors = carry
-            dt, n = xs
-            control = control_at(n)
-            factors = jax.lax.cond(
-                n % refresh_k == 0,
-                lambda: model.factorize(state0, control, prop, dt, params),
-                lambda: factors,
-            )
-            state1, info = model.step_pure_stale(
-                state0, factors, state0, control, prop, dt, params
-            )
-            return (state1, factors), (state1, info)
+        def inner(state, factors, dts_w, n0):
+            def body(carry, xs):
+                dt, n = xs
+                state1, info = stale_step(
+                    carry, factors, control_at(n), prop, dt
+                )
+                return state1, (state1, info)
 
-        (fin_state, _), (traj, infos) = jax.lax.scan(
-            body, (ini_state, factors0), (dts, jnp.arange(n_steps))
-        )
+            return jax.lax.scan(
+                body, state, (dts_w, n0 + jnp.arange(dts_w.shape[0]))
+            )
+
+        def window(state, dts_w, n0):
+            factors = model.factorize(
+                state, control_at(n0), prop, dts_w[0], params
+            )
+            return inner(state, factors, dts_w, n0)
+
+        n_win = n_steps // refresh_k
+        rem = n_steps - n_win * refresh_k
+        trajs, infoss = [], []
+        fin_state = ini_state
+        fin_factors = None
+        if n_win:
+            dts_main = dts[: n_win * refresh_k].reshape(n_win, refresh_k)
+            n0s = refresh_k * jnp.arange(n_win)
+
+            if use_ns:
+                factors0 = model.factorize(
+                    ini_state, control_at(0), prop, dts[0], params
+                )
+
+                def outer(carry, xs):
+                    state, factors = carry
+                    dts_w, n0, w = xs
+                    branch = jnp.where(
+                        w == 0, 0, jnp.where(w % full_every == 0, 1, 2)
+                    )
+                    factors = jax.lax.switch(
+                        branch,
+                        [
+                            lambda: factors,
+                            lambda: model.factorize(
+                                state, control_at(n0), prop, dts_w[0], params
+                            ),
+                            lambda: model.refresh_factors(
+                                factors, state, control_at(n0), prop,
+                                dts_w[0], params,
+                            ),
+                        ],
+                    )
+                    state, out = inner(state, factors, dts_w, n0)
+                    return (state, factors), out
+
+                (fin_state, fin_factors), (traj, infos) = jax.lax.scan(
+                    outer,
+                    (fin_state, factors0),
+                    (dts_main, n0s, jnp.arange(n_win)),
+                )
+            else:
+
+                def outer(state, xs):
+                    dts_w, n0 = xs
+                    return window(state, dts_w, n0)
+
+                fin_state, (traj, infos) = jax.lax.scan(
+                    outer, fin_state, (dts_main, n0s)
+                )
+            # (n_win, refresh_k, ...) -> (n_steps_main, ...)
+            flat = lambda a: a.reshape((-1,) + a.shape[2:])
+            trajs.append(jax.tree_util.tree_map(flat, traj))
+            infoss.append(jax.tree_util.tree_map(flat, infos))
+        if rem:
+            dts_rem = dts[n_win * refresh_k :]
+            n0_rem = n_win * refresh_k
+            if use_ns and fin_factors is not None:
+                # window index n_win is static here: pick full vs ns refresh
+                if n_win % full_every == 0:
+                    fin_state, (traj_r, infos_r) = window(
+                        fin_state, dts_rem, n0_rem
+                    )
+                else:
+                    factors_r = model.refresh_factors(
+                        fin_factors, fin_state, control_at(n0_rem), prop,
+                        dts_rem[0], params,
+                    )
+                    fin_state, (traj_r, infos_r) = inner(
+                        fin_state, factors_r, dts_rem, n0_rem
+                    )
+            else:
+                fin_state, (traj_r, infos_r) = window(
+                    fin_state, dts_rem, n0_rem
+                )
+            trajs.append(traj_r)
+            infoss.append(infos_r)
+        cat = lambda *xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs, 0)
+        traj = jax.tree_util.tree_map(cat, *trajs)
+        infos = jax.tree_util.tree_map(cat, *infoss)
         return fin_state, traj, infos
 
     fn = jax.jit(scan_fn)

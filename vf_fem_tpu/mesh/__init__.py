@@ -7,3 +7,4 @@ from .primitives import (
 )
 from .gmsh_io import load_gmsh
 from .interface import derive_1d_interface, locate_separation_vertex
+from .m5 import m5_mesh, m5_profile_names

@@ -528,6 +528,18 @@ class SolidModel(BaseTransientModel):
 
         self.factorize = factorize
 
+        def refresh_factors(factors, state0, control, prop, dt,
+                            params=_params_key(None)):
+            """Newton–Schulz refresh of carried inverse factors toward the
+            Jacobian at the current predictor point (matmul-only; see
+            :func:`vf_fem_tpu.solvers.linalg.dense_refresh`)."""
+            u_lin = _initial_guess(None, state0, dt, params)
+            A = jac_u_dense(u_lin, state0, control, prop, dt)
+            iters = int(dict(params).get("jacobian_refresh_iters", 2))
+            return linalg.dense_refresh(factors, A, iters)
+
+        self.refresh_factors = refresh_factors
+
         @partial(jax.custom_vjp, nondiff_argnums=(6,))
         def solve_u1_stale(u_guess, factors, state0, control, prop, dt, params):
             def assem(u1):
@@ -1130,6 +1142,17 @@ class ExplicitFSIModel(BaseTransientFSIModel):
             )
 
         self.factorize = factorize
+
+        def refresh_factors(factors, state0, control, prop, dt,
+                            params=_params_key(None)):
+            sl_prop, _ = self._split_prop(prop)
+            p_solid = self._pressure_to_solid(state0["p"])
+            sl_state0 = {k: state0[k] for k in ("u", "v", "a")}
+            return solid.refresh_factors(
+                factors, sl_state0, {"p1": p_solid}, sl_prop, dt, params
+            )
+
+        self.refresh_factors = refresh_factors
 
         def step_pure_stale(state1_guess, factors, state0, control, prop, dt,
                             params=_params_key(None)):

@@ -66,6 +66,35 @@ def dense_factor_solve(factors, b: jnp.ndarray) -> jnp.ndarray:
     return (Ainv @ (b / d)) / d
 
 
+def dense_refresh(factors, A: jnp.ndarray, iters: int = 2):
+    """Newton–Schulz update of an explicit inverse toward a drifted matrix.
+
+    ``factors = (X, d_old)`` approximates the inverse of an earlier Jacobian
+    (equilibrated by ``d_old``); ``A`` is the current Jacobian.  Each
+    Newton–Schulz sweep ``X <- X + X(I - A X)`` squares the error
+    ``||I - A X||`` and costs two matmuls — pure MXU work, an order of
+    magnitude faster than re-running the (sequential-panel) LU on TPU, and
+    it batches perfectly under ``vmap`` for parameter sweeps.
+
+    Quadratic convergence requires ``||I - A X|| < 1``: true when the
+    Jacobian drifts smoothly between refreshes (Newmark steps, cubic-smooth
+    contact penalty).  The downstream Newton solve is residual-certified
+    with best-iterate tracking, so an occasional low-quality refresh costs
+    iterations, not correctness.
+    """
+    d = _equilibrate(A)
+    As = A / d[:, None] / d[None, :]
+    X, d_old = factors
+    # re-express the old scaled inverse in the new equilibration:
+    # raw inverse Y = D_old^-1 X D_old^-1, new scaled X0 = D_new Y D_new
+    s = d / d_old
+    X = X * s[:, None] * s[None, :]
+    eye = jnp.eye(A.shape[0], dtype=A.dtype)
+    for _ in range(iters):
+        X = X + X @ (eye - As @ X)
+    return (X, d)
+
+
 class CGResult(NamedTuple):
     x: jnp.ndarray
     n_iter: jnp.ndarray

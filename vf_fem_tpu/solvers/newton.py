@@ -58,7 +58,7 @@ def newton_solve(
     big = jnp.asarray(jnp.inf, dtype=err0.dtype)
 
     def cond(carry):
-        x, res, err, err_prev, k = carry
+        x, res, err, err_prev, x_best, err_best, k = carry
         not_conv = jnp.logical_and(err >= abs_tol, err >= rel_tol * err0)
         progressing = err < stagnation_ratio * err_prev
         return jnp.logical_and(
@@ -66,19 +66,28 @@ def newton_solve(
         )
 
     def body(carry):
-        x, res, err, err_prev, k = carry
+        x, res, err, err_prev, x_best, err_best, k = carry
         dx = solve_jac(x, res)
         x = x - dx
         res = assem_res(x)
-        return (x, res, jnp.linalg.norm(res), err, k + 1)
+        err_new = jnp.linalg.norm(res)
+        # Track the best iterate: with an approximate Jacobian (stale /
+        # Newton–Schulz-refreshed factors) an iteration can overshoot; the
+        # returned state must be the lowest-residual one seen, not the last.
+        better = err_new < err_best
+        x_best = jnp.where(better, x, x_best)
+        err_best = jnp.where(better, err_new, err_best)
+        return (x, res, err_new, err, x_best, err_best, k + 1)
 
-    x, res, err, err_prev, k = jax.lax.while_loop(
-        cond, body, (x0, res0, err0, big, 0)
+    x, res, err, err_prev, x_best, err_best, k = jax.lax.while_loop(
+        cond, body, (x0, res0, err0, big, x0, err0, 0)
     )
     info = SolveInfo(
-        num_iter=k, abs_err=err, rel_err=err / jnp.where(err0 == 0, 1.0, err0)
+        num_iter=k,
+        abs_err=err_best,
+        rel_err=err_best / jnp.where(err0 == 0, 1.0, err0),
     )
-    return x, info
+    return x_best, info
 
 
 def iterative_solve(
