@@ -43,6 +43,7 @@ FUNCTIONALS = [
     fsl.FinalSurfaceDisplacementNorm,
     fsl.ElasticEnergyDifference,
     fsl.KVDampingWork,
+    fsl.KV3DDampingWork,
     fsl.PeriodicEnergyError,
     ffl.FinalPressureNorm,
     ffl.FinalFlowRateNorm,

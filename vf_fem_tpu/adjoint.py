@@ -52,12 +52,35 @@ def integrate_grad(
     controls_stacked = _stack_controls(model, controls)
     prop_d = model.prop_to_dict(prop)
     times_j = jnp.asarray(np.asarray(times, dtype=float))
+    T = times_j.shape[0]
+
+    if hasattr(functional, "eval_traj"):
+        # AbstractFunctional protocol: trajectories include the initial
+        # state row and a full-length control schedule (the statefile
+        # convention, see functional/base._load_statefile).  Rebuilding
+        # the full trajectory from the traced s0 keeps the direct
+        # d(functional)/d(initial state) term in the gradient.
+        def scalar_fn(s0, traj, cs, p, ts):
+            full_traj = {
+                k: jnp.concatenate([jnp.asarray(s0[k])[None], traj[k]], 0)
+                for k in traj
+            }
+            idx = jnp.minimum(
+                jnp.arange(T), next(iter(cs.values())).shape[0] - 1
+            )
+            cs_full = jax.tree_util.tree_map(lambda a: a[idx], cs)
+            return functional.eval_traj(full_traj, ts, cs_full, p)
+
+    else:
+
+        def scalar_fn(s0, traj, cs, p, ts):
+            return functional(traj, cs, p, ts)
 
     def loss(s0, cs, p, ts):
         fin, traj, infos = integrate_pure(
             model, s0, cs, p, ts, params, use_remat=True
         )
-        return functional(traj, cs, p, ts)
+        return scalar_fn(s0, traj, cs, p, ts)
 
     value, grads = jax.value_and_grad(loss, argnums=(0, 1, 2, 3))(
         state0, controls_stacked, prop_d, times_j
@@ -79,16 +102,34 @@ def integrate_grad(
     return float(value), out
 
 
-def integrate(model, f, functional_dstate_fn=None):
+def integrate(model, f, functional, params: Optional[dict] = None):
     """
-    Reference-compatible adjoint entry point operating on a statefile: the
-    reference accumulates ``dfunctional/dstate`` terms against stored states
-    (reference: ``adjoint.py:19-93``).  With the jax-native path the
-    recommended API is :func:`integrate_grad`; this wrapper re-runs the
-    forward problem from the stored inputs and differentiates it.
+    Reference-compatible adjoint entry point operating on a statefile
+    (reference: ``adjoint.py:19-93`` and ``integrate_grad``,
+    ``adjoint.py:96-131`` — broken there because the required
+    ``apply_dres_*_adj`` methods no longer exist on its models).
+
+    Replays the forward problem from the inputs stored in ``f`` (initial
+    state, control schedule, properties, times) and differentiates the
+    scanned loop with :func:`jax.grad`.  ``functional`` is either an
+    :class:`~vf_fem_tpu.functional.base.AbstractFunctional` (its
+    ``eval_traj`` is used, including the stored initial state row, matching
+    the statefile convention) or a plain callable
+    ``f(traj, controls_stacked, prop, times)`` as in
+    :func:`integrate_grad`.
+
+    Returns ``(value, grads)`` with the same gradient set as
+    :func:`integrate_grad` (initial state, controls, properties, times).
     """
-    raise NotImplementedError(
-        "Use adjoint.integrate_grad(model, functional, ini_state, controls,"
-        " prop, times); the statefile-replay adjoint of the reference is"
-        " superseded by differentiating the scanned forward loop."
+    ini_state = f.get_state(0)
+    prop = f.get_prop()
+    times = np.asarray(f.get_times())
+
+    # stored control schedule: one row per append (held-last semantics)
+    ctrl_keys = list(model.control.keys())
+    n_rows = f.root_group["control"][ctrl_keys[0]].shape[0]
+    controls = [f.get_control(n) for n in range(min(n_rows, f.size))]
+
+    return integrate_grad(
+        model, functional, ini_state, controls, prop, times, params
     )

@@ -245,7 +245,48 @@ class KVDampingWork(SolidFunctional):
         return _trapz(rates, times[n0:])
 
 
-KV3DDampingWork = KVDampingWork
+class KV3DDampingWork(SolidFunctional):
+    """Approximate-3D viscous dissipation: the planar Kelvin–Voigt rate
+    plus the anterior–posterior term ``eta |v|^2 / length^2`` from the
+    second-z-derivative approximation with clamped anterior/posterior
+    planes (reference ``functional/solid.py:586-614``:
+    ``inner(eta*eps(v1), eps(v1)) + inner(-0.5*eta*(0-2v+0)/length^2, v1)``;
+    pairs with ``APForceForm``, reference ``equations/form.py:993-1033``).
+
+    Requires a ``length`` property (the AP fold length); defaults to 1 if
+    the solid residual does not carry one.
+    """
+
+    default_constants = {"n_start": 0}
+
+    def _rate(self, v_flat, props):
+        solid = _solid(self.model)
+        topo = solid.residual.topology
+        dim = solid.dim
+        v = v_flat.reshape(-1, dim)
+        X = jnp.asarray(solid.residual.ref_mesh_coords)
+        eta = props["eta"]
+        length = props.get("length", jnp.ones(()))
+        length = jnp.broadcast_to(jnp.asarray(length), eta.shape)
+
+        def per_cell(v_e, eta_c, l_c, Xe):
+            grads, vol = assembly.elements.cell_shape_gradients(Xe)
+            rate = strain_inf(grad_field(v_e, grads))
+            planar = vol * eta_c * jnp.sum(rate * rate)
+            v_q = topo.cell_bary @ v_e  # (nq, dim)
+            ap = vol * eta_c / l_c**2 * jnp.sum(
+                topo.cell_qw * jnp.sum(v_q**2, axis=-1)
+            )
+            return planar + ap
+
+        return jnp.sum(
+            jax.vmap(per_cell)(v[topo.cells], eta, length, X[topo.cells])
+        )
+
+    def eval_traj(self, traj, times, controls, props):
+        n0 = self.constants["n_start"]
+        rates = jax.vmap(lambda v: self._rate(v, props))(traj["v"][n0:])
+        return _trapz(rates, times[n0:])
 
 
 class RayleighDampingWork(SolidFunctional):
