@@ -167,11 +167,17 @@ def main():
         f" {int(np.asarray(infos_dev.num_iter).max())})"
     )
 
-    # CPU baseline (PETSc-CPU stand-in) at its own best configuration
+    # CPU baseline (PETSc-CPU stand-in) at its own best configuration.
+    # The persistent compilation cache may hold CPU AOT results compiled on
+    # a different machine (the remote TPU toolchain's host), which loads
+    # with machine-feature mismatch warnings and unrepresentative code —
+    # compile the CPU leg fresh.
     vs_baseline = 1.0
     if on_accel:
+        jax.config.update("jax_enable_compilation_cache", False)
         cpu = jax.devices("cpu")[0]
         tps_cpu, ct_cpu, fin_cpu, _, _ = run_device(model, cpu, tol_cpu)
+        jax.config.update("jax_enable_compilation_cache", True)
         log(f"cpu: {tps_cpu:.1f} steps/s (compile {ct_cpu:.1f}s)")
         vs_baseline = tps_dev / tps_cpu
         # sanity: device and CPU trajectories agree

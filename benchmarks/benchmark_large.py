@@ -1,0 +1,131 @@
+"""
+Large-mesh benchmark: dense-LU vs matrix-free EBE+PCG forward stepping.
+
+The reference hands large sparse systems to PETSc LU/KSP (reference
+``src/femvf/models/transient.py:470-491``); the TPU-native answer is the
+element-by-element operator (batched small matmuls on the MXU, Pallas
+kernel on TPU) under block-Jacobi PCG, with the operator frozen per
+refresh window.  Dense LU wins at M5 scale (~1k dofs); this benchmark
+measures where the matrix-free path takes over.
+
+Usage: python benchmark_large.py [--h 0.006] [--steps 20]
+"""
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from benchmarkutils import maybe_profile  # noqa: F401  (repo path setup)
+from setup import setup_transient_args
+
+
+def build_model(h):
+    from vf_fem_tpu.load import load_fsi_model
+    from vf_fem_tpu.mesh import m5_mesh
+    from vf_fem_tpu.mesh.writers import write_gmsh
+    from vf_fem_tpu.mesh.gmsh_io import load_gmsh
+    from vf_fem_tpu.residuals import fluid as flr, solid as slr
+
+    from vf_fem_tpu.mesh.reorder import rcm_mesh
+
+    cache = os.path.join(
+        os.path.dirname(__file__), f".m5_3layers_h{h:g}_rcm.msh"
+    )
+    if os.path.exists(cache):
+        mesh = load_gmsh(cache)
+    else:
+        t0 = time.perf_counter()
+        mesh = rcm_mesh(m5_mesh("M5_3layers", h=h, smooth_iters=10))
+        print(f"meshed h={h}: {mesh.num_vertices} verts"
+              f" ({time.perf_counter()-t0:.0f}s)")
+        write_gmsh(mesh, cache)
+    return load_fsi_model(
+        mesh,
+        slr.KelvinVoigtWEpithelium,
+        flr.BernoulliAreaRatioSep,
+        coupling="explicit",
+    )
+
+
+def run(model, tol, steps, label):
+    import jax
+    import jax.numpy as jnp
+
+    from vf_fem_tpu import forward
+
+    state0_bv, control, prop = setup_transient_args(model)
+    model.set_prop(prop)
+    state0 = {
+        k: jnp.zeros_like(jnp.asarray(np.asarray(v)))
+        for k, v in state0_bv.sub_items()
+    }
+    cs = forward._stack_controls(model, [control])
+    prop_d = model.prop_to_dict(prop)
+    times = jnp.asarray(1e-4 * np.arange(steps + 1))
+
+    def once():
+        fin, traj, infos = forward.integrate_pure(
+            model, state0, cs, prop_d, times, tol
+        )
+        jax.block_until_ready(fin)
+        return fin, infos
+
+    t0 = time.perf_counter()
+    fin, infos = once()
+    ct = time.perf_counter() - t0
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fin, infos = once()
+        best = min(best, time.perf_counter() - t0)
+    tps = steps / best
+    print(
+        f"{label}: {tps:.2f} steps/s (compile {ct:.0f}s,"
+        f" mean_iters {np.asarray(infos.num_iter).mean():.2f},"
+        f" max rel_err {np.asarray(infos.rel_err).max():.2e},"
+        f" max abs_err {np.asarray(infos.abs_err).max():.2e})"
+    )
+    assert np.isfinite(np.asarray(fin["u"])).all()
+    return tps, fin
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--h", type=float, default=0.006)
+    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--dense-limit", type=int, default=20000)
+    args = parser.parse_args()
+
+    import jax
+
+    model = build_model(args.h)
+    ndof = model.solid.ndof
+    print(f"device {jax.devices()[0].platform}, solid ndof = {ndof}")
+
+    cg_tol = {
+        "linear_solver": "bsb",
+        "krylov_tolerance": 1e-4,
+        "krylov_max_iter": 200,
+        "jacobian_refresh_steps": 8,
+        "stagnation_ratio": 0.5,
+    }
+    tps_cg, fin_cg = run(
+        model, cg_tol, args.steps, "bsb+bicgstab (stale, block-Jacobi)"
+    )
+
+    if ndof <= args.dense_limit:
+        dense_tol = {"jacobian_refresh_steps": 8, "stagnation_ratio": 0.5}
+        tps_d, fin_d = run(model, dense_tol, args.steps, "dense LU (stale)")
+        du = np.abs(
+            np.asarray(fin_cg["u"]) - np.asarray(fin_d["u"])
+        ).max()
+        print(f"dense-vs-cg trajectory max|du| = {du:.3e}")
+        print(f"speedup (cg/dense) = {tps_cg / tps_d:.2f}x")
+    else:
+        print("dense path skipped (ndof beyond dense-LU memory scale)")
+
+
+if __name__ == "__main__":
+    main()

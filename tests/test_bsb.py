@@ -1,0 +1,142 @@
+"""
+Block-banded (BSB) operator + RCM renumbering tests.
+
+The BSB format is the TPU-native large-mesh Jacobian (gather-free matvec;
+see ``vf_fem_tpu/solvers/bsb.py``); correctness is checked against the
+dense assembly on an RCM-renumbered mesh.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vf_fem_tpu.load import load_fsi_model, load_solid_model
+from vf_fem_tpu.mesh import vocal_fold_mesh
+from vf_fem_tpu.mesh.reorder import rcm_mesh, rcm_permutation
+from vf_fem_tpu.residuals import fluid as flr, solid as slr
+from vf_fem_tpu.solvers import bsb
+
+
+@pytest.fixture(scope="module")
+def solid_model():
+    mesh = rcm_mesh(vocal_fold_mesh(10, 5))
+    model = load_solid_model(mesh, slr.KelvinVoigt)
+    prop = model.prop
+    prop["emod"][:] = 5e4
+    prop["nu"][:] = 0.45
+    prop["rho"][:] = 1.0
+    prop["eta"][:] = 3.0
+    prop["ycontact"][:] = 10.0
+    prop["kcontact"][:] = 1e8
+    model.set_prop(prop)
+    return model
+
+
+def test_rcm_reduces_bandwidth():
+    mesh = vocal_fold_mesh(16, 8)
+    cells0 = np.asarray(mesh.cells)
+    bw0 = int(np.abs(cells0[:, :, None] - cells0[:, None, :]).max())
+    m2 = rcm_mesh(mesh)
+    cells2 = np.asarray(m2.cells)
+    bw2 = int(np.abs(cells2[:, :, None] - cells2[:, None, :]).max())
+    assert bw2 <= bw0
+    assert bw2 < 4 * int(np.sqrt(mesh.num_vertices))  # O(sqrt n)
+
+
+def test_rcm_mesh_preserves_markers_and_geometry():
+    mesh = vocal_fold_mesh(10, 5)
+    m2 = rcm_mesh(mesh)
+    perm = rcm_permutation(mesh)
+    np.testing.assert_allclose(m2.coords, mesh.coords[perm])
+    # cell markers: same multiset per marker, same cell areas
+    assert dict(m2.subdomains[2]) == dict(mesh.subdomains[2])
+    np.testing.assert_array_equal(
+        np.sort(m2.mesh_functions[2]), np.sort(mesh.mesh_functions[2])
+    )
+    # facet markers: same count per subdomain, same marked total length
+    for name, marker in mesh.subdomains[1].items():
+        if marker == 0:
+            continue
+        f0 = mesh.entities_by_marker(1, marker)
+        f2 = m2.entities_by_marker(1, marker)
+        assert len(f0) == len(f2), name
+        len0 = np.linalg.norm(
+            np.diff(mesh.coords[mesh.facets[f0]], axis=1), axis=-1
+        ).sum()
+        len2 = np.linalg.norm(
+            np.diff(m2.coords[m2.facets[f2]], axis=1), axis=-1
+        ).sum()
+        np.testing.assert_allclose(len0, len2, rtol=1e-12)
+    # vertex markers follow the permutation
+    v0 = np.nonzero(mesh.mesh_functions[0])[0]
+    v2 = np.nonzero(m2.mesh_functions[0])[0]
+    inv = np.argsort(perm)
+    np.testing.assert_array_equal(np.sort(inv[v0]), np.sort(v2))
+
+
+def test_bsb_matvec_matches_dense(solid_model):
+    model = solid_model
+    prop = {k: jnp.asarray(v) for k, v in model.prop.sub_items()}
+    s0 = {k: jnp.zeros(model.ndof) for k in ("u", "v", "a")}
+    ctrl = {"p1": jnp.full(model.nvert, 500.0)}
+    dt = 1e-4
+
+    op = model.jac_u_ebe(s0["u"], s0, ctrl, prop, dt)
+    A = np.asarray(model.jac_u_dense(s0["u"], s0, ctrl, prop, dt))
+    plan = model._get_bsb_plan()
+    blocks = bsb.bsb_fill(plan, [op.J_cells, op.J_facets])
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(model.ndof))
+    y = np.asarray(bsb.bsb_matvec(plan, blocks, x))
+    np.testing.assert_allclose(y, A @ np.asarray(x), rtol=1e-10, atol=1e-8)
+    yt = np.asarray(bsb.bsb_matvec_t(plan, blocks, x))
+    np.testing.assert_allclose(yt, A.T @ np.asarray(x), rtol=1e-10, atol=1e-8)
+
+
+def test_bsb_fsi_trajectory_matches_dense():
+    mesh = rcm_mesh(vocal_fold_mesh(10, 5))
+    ymax = mesh.coords[:, 1].max()
+    model = load_fsi_model(
+        mesh, slr.KelvinVoigt, flr.BernoulliSmoothMinSep, coupling="explicit"
+    )
+    prop = model.prop
+    prop["emod"][:] = 5e4
+    prop["rho"][:] = 1.0
+    prop["eta"][:] = 3.0
+    prop["nu"][:] = 0.45
+    prop["ycontact"][:] = ymax + 0.05
+    prop["kcontact"][:] = 1e8
+    prop["rho_air"][:] = 1.1225e-3
+    prop["zeta_min"][:] = 1e-3
+    prop["zeta_sep"][:] = 1e-3
+    prop["ymid"][:] = ymax + 0.01
+    model.set_prop(prop)
+    model.control["psub"][:] = 8000.0
+    model.control["psup"][:] = 0.0
+
+    from vf_fem_tpu import forward
+
+    state0 = {k: np.zeros_like(np.asarray(v))
+              for k, v in model.state0.sub_items()}
+    cs = forward._stack_controls(model, [model.control])
+    pd = model.prop_to_dict(model.prop)
+    times = np.asarray(5e-5 * np.arange(31))
+    fin_d, traj_d, _ = forward.integrate_pure(
+        model, state0, cs, pd, times, {"jacobian_refresh_steps": 1}
+    )
+    fin_b, traj_b, info_b = forward.integrate_pure(
+        model, state0, cs, pd, times,
+        {
+            "linear_solver": "bsb",
+            "krylov_tolerance": 1e-10,
+            "jacobian_refresh_steps": 8,
+        },
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj_b["u"]), np.asarray(traj_d["u"]),
+        rtol=1e-8, atol=1e-12,
+    )
+    assert np.all(np.asarray(info_b.abs_err) < 1e-6)

@@ -169,6 +169,32 @@ def cell_dof_array(cells: np.ndarray, dim: int) -> np.ndarray:
     return dofs.reshape(nc, nv * dim)
 
 
+def build_gather_map(dofs_arrays: Sequence[np.ndarray], ndof: int) -> np.ndarray:
+    """Static transpose of the scatter pattern: for every global dof, the
+    positions of its contributions in the concatenated per-element result.
+
+    Scatter-adds serialize on TPU; with this (ndof, K) index table
+    (entries index into ``concat(flattened element results, [0])``, padded
+    rows pointing at the trailing zero) the EBE scatter becomes a dense
+    gather + row sum — fully vectorized.  K = max contributions per dof
+    (mesh valence * dim, a small constant).
+    """
+    flat = np.concatenate(
+        [np.asarray(d).reshape(-1) for d in dofs_arrays if d is not None]
+    ).astype(np.int64)
+    n_src = flat.size
+    order = np.argsort(flat, kind="stable")
+    sorted_dofs = flat[order]
+    counts = np.bincount(flat, minlength=ndof)
+    K = int(counts.max()) if n_src else 1
+    starts = np.zeros(ndof, dtype=np.int64)
+    starts[1:] = np.cumsum(counts)[:-1]
+    idx = np.full((ndof, K), n_src, dtype=np.int32)  # pad -> zero slot
+    pos = np.arange(n_src) - starts[sorted_dofs]
+    idx[sorted_dofs, pos] = order.astype(np.int32)
+    return idx
+
+
 class EBEOperator(NamedTuple):
     """
     Element-by-element linear operator: the TPU-native sparse matrix.
@@ -183,19 +209,71 @@ class EBEOperator(NamedTuple):
     facet_dofs: jnp.ndarray  # (nf, nld) or None
     ndof: int
     bc_dofs: jnp.ndarray  # (n_bc,) constrained dof indices (identity rows)
+    gather_idx: jnp.ndarray = None  # (ndof, K) static transpose of the
+    # scatter pattern over concat(cell results, facet results, [0]); see
+    # build_gather_map.  When present, matvec scatters by gather + row-sum
+    # (scatter-add serializes on TPU).
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
-        y = jnp.zeros(self.ndof, dtype=x.dtype)
-        xc = x[self.cell_dofs]  # (nc, nld)
-        yc = jnp.einsum("eij,ej->ei", self.J_cells, xc)
-        y = y.at[self.cell_dofs.reshape(-1)].add(yc.reshape(-1))
+        # On TPU the batched small-matmul inner loop runs as a Pallas
+        # kernel (tiled HBM->VMEM streaming of element blocks); elsewhere
+        # XLA's einsum is equivalent.  Decided at trace time.
+        import jax as _jax
+
+        if _jax.default_backend() == "tpu":
+            from ..ops import pallas_kernels as _pk
+
+            yc = _pk.ebe_matvec(self.J_cells, x[self.cell_dofs])
+        else:
+            yc = jnp.einsum("eij,ej->ei", self.J_cells, x[self.cell_dofs])
+        yf = None
         if self.J_facets is not None and self.J_facets.shape[0] > 0:
-            xf = x[self.facet_dofs]
-            yf = jnp.einsum("eij,ej->ei", self.J_facets, xf)
-            y = y.at[self.facet_dofs.reshape(-1)].add(yf.reshape(-1))
-        # Dirichlet rows -> identity
-        y = y.at[self.bc_dofs].set(x[self.bc_dofs])
-        return y
+            yf = jnp.einsum("eij,ej->ei", self.J_facets, x[self.facet_dofs])
+        return self._combine(yc, yf, x)
+
+    def _combine(self, yc, yf, x):
+        """Assemble per-element results into the global vector and apply
+        identity Dirichlet rows."""
+        if self.gather_idx is not None:
+            parts = [yc.reshape(-1)]
+            if yf is not None:
+                parts.append(yf.reshape(-1))
+            parts.append(jnp.zeros((1,), dtype=yc.dtype))
+            src = jnp.concatenate(parts)
+            y = jnp.sum(src[self.gather_idx], axis=1)
+        else:
+            # NOTE: x.shape[0] (static) rather than self.ndof — the
+            # operator may be carried through lax.scan, where int leaves
+            # trace
+            y = jnp.zeros(x.shape[0], dtype=yc.dtype)
+            y = y.at[self.cell_dofs.reshape(-1)].add(yc.reshape(-1))
+            if yf is not None:
+                y = y.at[self.facet_dofs.reshape(-1)].add(yf.reshape(-1))
+        return y.at[self.bc_dofs].set(x[self.bc_dofs])
+
+    def matvec_transpose(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Apply the transposed operator (adjoint solves): same EBE
+        structure with each element block transposed."""
+        xm = x.at[self.bc_dofs].set(0.0)
+        yc = jnp.einsum("eji,ej->ei", self.J_cells, xm[self.cell_dofs])
+        yf = None
+        if self.J_facets is not None and self.J_facets.shape[0] > 0:
+            yf = jnp.einsum("eji,ej->ei", self.J_facets, xm[self.facet_dofs])
+        if self.gather_idx is not None:
+            parts = [yc.reshape(-1)]
+            if yf is not None:
+                parts.append(yf.reshape(-1))
+            parts.append(jnp.zeros((1,), dtype=yc.dtype))
+            src = jnp.concatenate(parts)
+            y = jnp.sum(src[self.gather_idx], axis=1)
+        else:
+            y = jnp.zeros(x.shape[0], dtype=yc.dtype)
+            y = y.at[self.cell_dofs.reshape(-1)].add(yc.reshape(-1))
+            if yf is not None:
+                y = y.at[self.facet_dofs.reshape(-1)].add(yf.reshape(-1))
+        # A^T with identity BC rows: columns at bc_dofs contribute only to
+        # their own row
+        return y.at[self.bc_dofs].add(x[self.bc_dofs])
 
     def to_dense(self) -> jnp.ndarray:
         A = scatter_dense_jacobian(self.J_cells, self.cell_dofs, self.ndof)

@@ -55,6 +55,46 @@ def _params_key(params: Optional[dict]) -> tuple:
     return tuple(sorted(params.items()))
 
 
+_ITERATIVE_SOLVERS = ("cg", "bsb")
+
+
+def _iter_solve(factors, r, params_d, transpose=False, bsb_plan=None):
+    """Solve with frozen matrix-free factors by block-Jacobi Krylov.
+
+    ``linear_solver='cg'``: factors = (EBEOperator, nodal block inverse).
+    ``linear_solver='bsb'``: factors = (block-banded array, nodal block
+    inverse) — the gather-free large-mesh format (``solvers.bsb``).
+
+    Default Krylov is BiCGStab: the Newmark Jacobian is nonsymmetric
+    through the follower-pressure surface terms, and PCG stalls on it once
+    the drive pressure is on (measured).  Set ``'krylov': 'pcg'`` for
+    symmetric problems (no follower load) where CG's single matvec wins."""
+    from ..solvers import bsb as bsb_mod
+
+    A, Dinv = factors
+    block = Dinv.shape[-1]
+
+    def pre(v):
+        return jnp.einsum(
+            "nij,nj->ni", Dinv, v.reshape(-1, block)
+        ).reshape(-1)
+
+    if params_d.get("linear_solver") == "bsb":
+        if transpose:
+            mv = lambda v: bsb_mod.bsb_matvec_t(bsb_plan, A, v)
+        else:
+            mv = lambda v: bsb_mod.bsb_matvec(bsb_plan, A, v)
+    else:
+        mv = A.matvec_transpose if transpose else A.matvec
+    tol = params_d.get("krylov_tolerance", 1e-8)
+    mx = params_d.get("krylov_max_iter", 1000)
+    if params_d.get("krylov", "bicgstab") == "pcg" and not transpose:
+        result = linalg.pcg(mv, r, precond=pre, tol=tol, max_iter=mx)
+    else:
+        result = linalg.bicgstab(mv, r, precond=pre, tol=tol, max_iter=mx)
+    return result.x
+
+
 class BaseTransientModel:
     """One-time-step system F(u1, u0, g, p, dt)
     (reference: ``transient.py:32-161``)."""
@@ -348,6 +388,13 @@ class SolidModel(BaseTransientModel):
 
         self.jac_u_dense = jac_u_dense
 
+        # Static transpose of the scatter pattern (host-built once): turns
+        # the EBE scatter-add into a gather + row-sum, which vectorizes on
+        # TPU where scatter-adds serialize.
+        ebe_gather = assembly.build_gather_map(
+            [cell_dofs, facet_cell_dofs], ndof
+        )
+
         def jac_u_ebe(u1_flat, state0, control, prop, dt):
             """Matrix-free element-by-element operator — the TPU-native
             sparse Jacobian for meshes beyond dense-LU scale (SURVEY 2.9:
@@ -360,9 +407,46 @@ class SolidModel(BaseTransientModel):
                 facet_dofs=jnp.asarray(facet_cell_dofs),
                 ndof=ndof,
                 bc_dofs=jnp.asarray(bc_dofs),
+                gather_idx=jnp.asarray(ebe_gather),
             )
 
         self.jac_u_ebe = jac_u_ebe
+
+        # ---- Matrix-free factor helpers (cg: EBE, bsb: block-banded) ----
+        self._bsb_plan = None
+
+        def get_bsb_plan():
+            if self._bsb_plan is None:
+                from ..solvers import bsb as bsb_mod
+
+                self._bsb_plan = bsb_mod.plan_bsb(
+                    [cell_dofs, facet_cell_dofs], ndof, bc_dofs
+                )
+            return self._bsb_plan
+
+        self._get_bsb_plan = get_bsb_plan
+
+        def make_iter_factors(u_lin, state0, control, prop, dt, params_d):
+            op = jac_u_ebe(u_lin, state0, control, prop, dt)
+            Dinv = op.block_diag_inverse(dim)
+            if params_d.get("linear_solver") == "bsb":
+                from ..solvers import bsb as bsb_mod
+
+                blocks = bsb_mod.bsb_fill(
+                    get_bsb_plan(), [op.J_cells, op.J_facets]
+                )
+                return (blocks, Dinv)
+            return (op, Dinv)
+
+        def iter_solve(factors, r, params_d, transpose=False):
+            plan = (
+                get_bsb_plan()
+                if params_d.get("linear_solver") == "bsb"
+                else None
+            )
+            return _iter_solve(
+                factors, r, params_d, transpose=transpose, bsb_plan=plan
+            )
 
         # ---- Pure Newton solve with IFT adjoint ----
         def _solve_u1_fwd_only(u_guess, state0, control, prop, dt, params):
@@ -371,30 +455,32 @@ class SolidModel(BaseTransientModel):
             def assem(u1):
                 return res_u(u1, state0, control, prop, dt)
 
-            if params_d.get("linear_solver", "dense") == "cg":
-                # Matrix-free Newton-Krylov: preconditioned BiCGStab on the
-                # EBE operator (no global matrix ever materialized).
-                use_block = params_d.get(
-                    "preconditioner", "block_jacobi"
-                ) == "block_jacobi"
+            if params_d.get("linear_solver", "dense") in _ITERATIVE_SOLVERS:
+                # Matrix-free Newton-Krylov: preconditioned Krylov on the
+                # EBE ('cg') or block-banded ('bsb') operator — no global
+                # dense matrix ever materialized.  By default the operator
+                # is assembled ONCE per step at the initial guess (chord
+                # Newton — convergence is residual-certified, and the
+                # frozen operator turns every Krylov iteration into
+                # contiguous MXU work); set 'jacobian_update':
+                # 'every_iteration' to re-assemble.
+                if params_d.get("jacobian_update", "once_per_step") == (
+                    "once_per_step"
+                ):
+                    factors0 = make_iter_factors(
+                        u_guess, state0, control, prop, dt, params_d
+                    )
 
-                def solve_jac(u1, r):
-                    op = jac_u_ebe(u1, state0, control, prop, dt)
-                    if use_block:
-                        Dinv = op.block_diag_inverse(dim)
-                        pre = lambda v: op.block_jacobi_apply(Dinv, v)
-                        result = linalg.bicgstab(
-                            op.matvec, r, precond=pre,
-                            tol=params_d.get("krylov_tolerance", 1e-8),
-                            max_iter=params_d.get("krylov_max_iter", 2000),
+                    def solve_jac(u1, r):
+                        return iter_solve(factors0, r, params_d)
+
+                else:
+
+                    def solve_jac(u1, r):
+                        factors = make_iter_factors(
+                            u1, state0, control, prop, dt, params_d
                         )
-                    else:
-                        result = linalg.bicgstab(
-                            op.matvec, r, precond_diag=op.diagonal(),
-                            tol=params_d.get("krylov_tolerance", 1e-8),
-                            max_iter=params_d.get("krylov_max_iter", 2000),
-                        )
-                    return result.x
+                        return iter_solve(factors, r, params_d)
 
             elif params_d.get("jacobian_update", "every_iteration") == (
                 "once_per_step"
@@ -431,8 +517,15 @@ class SolidModel(BaseTransientModel):
             u1, state0, control, prop, dt = saved
             u1_bar, _info_bar = cotangents
             # lambda = J^{-T} u1_bar ; theta_bar = -(dR/dtheta)^T lambda
-            A = jac_u_dense(u1, state0, control, prop, dt)
-            lam = linalg.dense_solve_transpose(A, u1_bar)
+            params_d = dict(params)
+            if params_d.get("linear_solver", "dense") in _ITERATIVE_SOLVERS:
+                fac = make_iter_factors(
+                    u1, state0, control, prop, dt, params_d
+                )
+                lam = iter_solve(fac, u1_bar, params_d, transpose=True)
+            else:
+                A = jac_u_dense(u1, state0, control, prop, dt)
+                lam = linalg.dense_solve_transpose(A, u1_bar)
 
             def res_wrt_theta(state0_, control_, prop_, dt_):
                 return res_u(u1, state0_, control_, prop_, dt_)
@@ -464,8 +557,15 @@ class SolidModel(BaseTransientModel):
                 (state0, control, prop, dt),
                 (dstate0, dcontrol, dprop, ddt),
             )
-            A = jac_u_dense(u1, state0, control, prop, dt)
-            du = -linalg.dense_solve(A, rdot)
+            params_d = dict(params)
+            if params_d.get("linear_solver", "dense") in _ITERATIVE_SOLVERS:
+                fac = make_iter_factors(
+                    u1, state0, control, prop, dt, params_d
+                )
+                du = -iter_solve(fac, rdot, params_d)
+            else:
+                A = jac_u_dense(u1, state0, control, prop, dt)
+                du = -linalg.dense_solve(A, rdot)
             return u1, du
 
         def solve_state1_pure_fwd(state1_guess, state0, control, prop, dt,
@@ -521,8 +621,17 @@ class SolidModel(BaseTransientModel):
         # satisfies R(u1) = 0 regardless, so IFT gradients stay exact with
         # zero sensitivity through the factors.
         def factorize(state0, control, prop, dt, params=_params_key(None)):
-            """Factor the Jacobian at the Newmark-predictor point."""
+            """Factor the Jacobian at the Newmark-predictor point.
+
+            ``linear_solver='dense'``: equilibrated explicit inverse.
+            ``linear_solver='cg'``: frozen EBE operator + nodal
+            block-Jacobi inverse (matrix-free, large meshes)."""
             u_lin = _initial_guess(None, state0, dt, params)
+            params_d = dict(params)
+            if params_d.get("linear_solver", "dense") in _ITERATIVE_SOLVERS:
+                return make_iter_factors(
+                    u_lin, state0, control, prop, dt, params_d
+                )
             A = jac_u_dense(u_lin, state0, control, prop, dt)
             return linalg.dense_factor(A)
 
@@ -532,7 +641,10 @@ class SolidModel(BaseTransientModel):
                             params=_params_key(None)):
             """Newton–Schulz refresh of carried inverse factors toward the
             Jacobian at the current predictor point (matmul-only; see
-            :func:`vf_fem_tpu.solvers.linalg.dense_refresh`)."""
+            :func:`vf_fem_tpu.solvers.linalg.dense_refresh`).  EBE factors
+            have no factorization to amortize — refresh = re-assemble."""
+            if dict(params).get("linear_solver", "dense") in _ITERATIVE_SOLVERS:
+                return factorize(state0, control, prop, dt, params)
             u_lin = _initial_guess(None, state0, dt, params)
             A = jac_u_dense(u_lin, state0, control, prop, dt)
             iters = int(dict(params).get("jacobian_refresh_iters", 2))
@@ -542,13 +654,22 @@ class SolidModel(BaseTransientModel):
 
         @partial(jax.custom_vjp, nondiff_argnums=(6,))
         def solve_u1_stale(u_guess, factors, state0, control, prop, dt, params):
+            params_d = dict(params)
+
             def assem(u1):
                 return res_u(u1, state0, control, prop, dt)
 
-            def solve_jac(u1, r):
-                return linalg.dense_factor_solve(factors, r)
+            if params_d.get("linear_solver", "dense") in _ITERATIVE_SOLVERS:
 
-            return newton_solve(u_guess, assem, solve_jac, dict(params))
+                def solve_jac(u1, r):
+                    return iter_solve(factors, r, params_d)
+
+            else:
+
+                def solve_jac(u1, r):
+                    return linalg.dense_factor_solve(factors, r)
+
+            return newton_solve(u_guess, assem, solve_jac, params_d)
 
         def solve_u1_stale_fwd(u_guess, factors, state0, control, prop, dt,
                                params):
@@ -560,8 +681,16 @@ class SolidModel(BaseTransientModel):
         def solve_u1_stale_bwd(params, saved, cotangents):
             u1, factors, state0, control, prop, dt = saved
             u1_bar, _ = cotangents
-            A = jac_u_dense(u1, state0, control, prop, dt)
-            lam = linalg.dense_solve_transpose(A, u1_bar)
+            params_d = dict(params)
+            if params_d.get("linear_solver", "dense") in _ITERATIVE_SOLVERS:
+                # matrix-free adjoint: transposed operator at u1
+                fac = make_iter_factors(
+                    u1, state0, control, prop, dt, params_d
+                )
+                lam = iter_solve(fac, u1_bar, params_d, transpose=True)
+            else:
+                A = jac_u_dense(u1, state0, control, prop, dt)
+                lam = linalg.dense_solve_transpose(A, u1_bar)
             _, vjp = jax.vjp(
                 lambda s0, c, p, t: res_u(u1, s0, c, p, t),
                 state0, control, prop, dt,

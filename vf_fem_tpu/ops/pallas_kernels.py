@@ -80,7 +80,9 @@ def ebe_operator_matvec(op, x: jnp.ndarray, tile: int = 256) -> jnp.ndarray:
 
     Drop-in replacement for ``EBEOperator.matvec`` on large meshes.
     """
-    y = jnp.zeros(op.ndof, dtype=x.dtype)
+    # x.shape[0] (static) rather than op.ndof: the operator may be a scan
+    # carry pytree, in which case its int leaves are traced
+    y = jnp.zeros(x.shape[0], dtype=x.dtype)
     yc = ebe_matvec(op.J_cells, x[op.cell_dofs], tile=tile)
     y = y.at[op.cell_dofs.reshape(-1)].add(yc.reshape(-1))
     if op.J_facets is not None and op.J_facets.shape[0] > 0:

@@ -1,0 +1,167 @@
+"""
+Block-banded sparse operator (BSB) — the TPU-native large-mesh Jacobian.
+
+TPUs have no hardware gather/scatter: every irregular-sparsity matvec
+(EBE scatter, ELL, CSR) is emulated elementwise and runs ~100x off
+bandwidth (measured: 1.7 ms for a 13k-dof EBE matvec whose data is ~2 MB).
+The structure that *does* map to the hardware is banded: after a reverse
+Cuthill–McKee (RCM) vertex renumbering a P1 mesh Jacobian has bandwidth
+O(sqrt(ndof)), and a banded matvec is pure contiguous work.
+
+Storage here is block-banded: dofs are grouped into blocks of ``b=128``
+(the TPU lane width); block-row ``n`` couples only to block-columns
+``n-h .. n+h`` (h = ceil(bandwidth/b)).  The matvec is
+
+    y_n = sum_m  blocks[n, m] @ xpad[(n+m)*b : (n+m+1)*b]
+
+i.e. ``nb = 2h+1`` contiguous shifted slices of x and ONE batched 128x128
+matmul on the MXU — no gathers anywhere (measured ~12x faster than the
+EBE/ELL forms at 13k dofs, and the gap grows with mesh size).
+
+The block array is (re)filled from per-element Jacobian blocks with a
+single static-index scatter-add per refresh window (amortized), replacing
+PETSc's AIJ insertion (reference ``src/femvf/models/assemblyutils.py``).
+
+Meshes should be RCM-renumbered at load time (``mesh.reorder.rcm_mesh``)
+so no runtime permutation is needed; ``plan_bsb`` asserts the realized
+bandwidth fits.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["BSBPlan", "plan_bsb", "bsb_fill", "bsb_matvec", "bsb_matvec_t"]
+
+
+class BSBPlan(NamedTuple):
+    """Static (host-built) plan for block-banded assembly + matvec."""
+
+    ndof: int
+    b: int  # block size (lane width)
+    nblk: int  # number of block rows
+    nb: int  # neighbor blocks per block row (2h+1)
+    h: int  # half-band in blocks
+    # scatter targets: flat index into blocks[nblk, nb, b, b] for every
+    # (element, i, j) source entry; -1 entries are dropped (BC rows)
+    tgt_idx: np.ndarray  # (n_src,)
+    src_keep: np.ndarray  # (n_src,) bool
+    bc_dofs: np.ndarray
+    diag_ones: np.ndarray  # flat block indices of BC diagonal 1.0 entries
+
+
+def plan_bsb(dofs_arrays, ndof: int, bc_dofs, b: int = 128) -> BSBPlan:
+    """Build the static plan from element dof maps.
+
+    ``dofs_arrays``: sequence of (ne, nld) global-dof arrays (cells,
+    facets).  Entries in Dirichlet rows are dropped (identity rows are
+    installed instead), mirroring ``apply_dirichlet_rows``.
+    """
+    rows = []
+    cols = []
+    for d in dofs_arrays:
+        if d is None or d.size == 0:
+            continue
+        d = np.asarray(d)
+        ne, nld = d.shape
+        rows.append(np.broadcast_to(d[:, :, None], (ne, nld, nld)).reshape(-1))
+        cols.append(np.broadcast_to(d[:, None, :], (ne, nld, nld)).reshape(-1))
+    rows = np.concatenate(rows)
+    cols = np.concatenate(cols)
+
+    bw = int(np.abs(rows - cols).max())
+    h = -(-bw // b)  # ceil
+    nb = 2 * h + 1
+    nblk = -(-ndof // b)
+
+    blk_r = rows // b
+    blk_c = cols // b
+    m = blk_c - blk_r + h
+    ok = (m >= 0) & (m < nb)
+    assert ok.all(), (
+        f"bandwidth {bw} inconsistent with block plan; renumber the mesh"
+        " (mesh.reorder.rcm_mesh) before building the model"
+    )
+    bi = rows - blk_r * b
+    bj = cols - blk_c * b
+    tgt = ((blk_r * nb + m) * b + bi) * b + bj
+
+    bc = np.zeros(ndof, dtype=bool)
+    bc[np.asarray(bc_dofs)] = True
+    keep = ~bc[rows]
+
+    # BC identity rows: blocks[blk, h, i, i] = 1
+    bcd = np.asarray(bc_dofs)
+    blk = bcd // b
+    i = bcd - blk * b
+    diag_ones = ((blk * nb + h) * b + i) * b + i
+
+    return BSBPlan(
+        ndof=ndof, b=b, nblk=nblk, nb=nb, h=h,
+        tgt_idx=tgt.astype(np.int32),
+        src_keep=keep,
+        bc_dofs=np.asarray(bc_dofs, dtype=np.int32),
+        diag_ones=diag_ones.astype(np.int32),
+    )
+
+
+def bsb_fill(plan: BSBPlan, J_list) -> jnp.ndarray:
+    """Fill the block-banded array from per-element Jacobian blocks.
+
+    One static-index scatter-add (per refresh window); BC rows get
+    identity."""
+    src = jnp.concatenate(
+        [J.reshape(-1) for J in J_list if J is not None and J.size]
+    )
+    src = jnp.where(jnp.asarray(plan.src_keep), src, 0.0)
+    size = plan.nblk * plan.nb * plan.b * plan.b
+    flat = jnp.zeros(size, dtype=src.dtype)
+    flat = flat.at[jnp.asarray(plan.tgt_idx)].add(src)
+    flat = flat.at[jnp.asarray(plan.diag_ones)].add(1.0)
+    return flat.reshape(plan.nblk, plan.nb, plan.b, plan.b)
+
+
+def _x_windows(plan: BSBPlan, x: jnp.ndarray) -> jnp.ndarray:
+    """(nblk, nb, b) shifted contiguous views of x (h blocks padding)."""
+    b, h, nb, nblk = plan.b, plan.h, plan.nb, plan.nblk
+    pad_tail = nblk * b - plan.ndof
+    xpad = jnp.pad(x, (h * b, h * b + pad_tail))
+    wins = [
+        jax.lax.dynamic_slice(xpad, (m * b,), (nblk * b,)).reshape(nblk, b)
+        for m in range(nb)
+    ]
+    return jnp.stack(wins, axis=1)
+
+
+def bsb_matvec(plan: BSBPlan, blocks: jnp.ndarray, x: jnp.ndarray):
+    """y = A x: nb contiguous slices + one batched MXU matmul."""
+    xw = _x_windows(plan, x)
+    y = jnp.einsum("nmij,nmj->ni", blocks, xw)
+    return y.reshape(-1)[: plan.ndof]
+
+
+def bsb_matvec_t(plan: BSBPlan, blocks: jnp.ndarray, x: jnp.ndarray):
+    """y = A^T x: transpose each block and flip the band offset.
+
+    (A^T)[n, m] = A[n + (m - h), nb-1-m]^T; implemented by scattering the
+    contributions of each band position back with the opposite shift.
+    """
+    b, h, nb, nblk = plan.b, plan.h, plan.nb, plan.nblk
+    pad_tail = nblk * b - plan.ndof
+    xpad = jnp.pad(x, (0, pad_tail)).reshape(nblk, b)
+    # per band position: contribution to block-row (n+m-h) is
+    # blocks[n, m]^T @ x_n, accumulated at shifted offsets
+    contrib = jnp.einsum("nmij,ni->nmj", blocks, xpad)  # (nblk, nb, b)
+    ypad = jnp.zeros((nblk + 2 * h) * b, dtype=x.dtype)
+    for m in range(nb):
+        seg = contrib[:, m].reshape(-1)
+        ypad = jax.lax.dynamic_update_slice(
+            ypad, jax.lax.dynamic_slice(ypad, (m * b,), (nblk * b,)) + seg,
+            (m * b,),
+        )
+    y = ypad[h * b : h * b + nblk * b]
+    return y[: plan.ndof]

@@ -106,17 +106,27 @@ def pcg(
     b: jnp.ndarray,
     x0: jnp.ndarray = None,
     precond_diag: jnp.ndarray = None,
+    precond: Callable = None,
     tol: float = 1e-10,
     atol: float = 1e-12,
     max_iter: int = 1000,
 ) -> CGResult:
-    """Jacobi-preconditioned conjugate gradients (jittable while_loop)."""
+    """Preconditioned conjugate gradients (jittable while_loop).
+
+    ``precond`` (a callable, e.g. nodal block-Jacobi) wins over the
+    diagonal ``precond_diag``."""
     if x0 is None:
         x0 = jnp.zeros_like(b)
-    Minv = 1.0 if precond_diag is None else 1.0 / precond_diag
+    if precond is not None:
+        Minv_apply = precond
+    else:
+        Minv = 1.0 if precond_diag is None else 1.0 / precond_diag
+
+        def Minv_apply(v):
+            return Minv * v
 
     r0 = b - matvec(x0)
-    z0 = Minv * r0
+    z0 = Minv_apply(r0)
     p0 = z0
     rz0 = jnp.vdot(r0, z0)
     bnorm = jnp.linalg.norm(b)
@@ -132,7 +142,7 @@ def pcg(
         alpha = rz / jnp.vdot(p, Ap)
         x = x + alpha * p
         r = r - alpha * Ap
-        z = Minv * r
+        z = Minv_apply(r)
         rz_new = jnp.vdot(r, z)
         beta = rz_new / rz
         p = z + beta * p
