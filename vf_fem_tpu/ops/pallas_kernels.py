@@ -91,6 +91,62 @@ def ebe_operator_matvec(op, x: jnp.ndarray, tile: int = 256) -> jnp.ndarray:
     return y.at[op.bc_dofs].set(x[op.bc_dofs])
 
 
+# -- Block-banded matvec --------------------------------------------------------
+
+
+def _bsb_matvec_kernel(h, xpad_ref, blocks_ref, y_ref):
+    # xpad_ref: full padded x in VMEM (nblk+2h, b); blocks_ref: one tile
+    # (TILE_N, nb, b, b); y_ref: (TILE_N, b)
+    t = pl.program_id(0)
+    tile_n = blocks_ref.shape[0]
+    nb = blocks_ref.shape[1]
+    b = blocks_ref.shape[3]
+    # window of x covering this tile's band: rows [t*tile_n, ...) + offsets
+    base = t * tile_n
+    acc = jnp.zeros((tile_n, b), dtype=y_ref.dtype)
+    for m in range(nb):
+        xm = xpad_ref[pl.ds(base + m, tile_n), :]  # (TILE_N, b)
+        acc += jax.lax.dot_general(
+            blocks_ref[:, m],
+            xm[:, :, None],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=acc.dtype,
+        )[:, :, 0]
+    y_ref[:, :] = acc
+
+
+def bsb_matvec_pallas(plan, blocks: jnp.ndarray, x: jnp.ndarray,
+                      tile: int = 8) -> jnp.ndarray:
+    """Block-banded matvec as a Pallas kernel.
+
+    The (small) padded x lives whole in VMEM; block tiles stream
+    HBM -> VMEM once with no HBM materialization of the shifted-window
+    tensor the XLA path builds.  Matches ``solvers.bsb.bsb_matvec``.
+    """
+    b, h, nb, nblk = plan.b, plan.h, plan.nb, plan.nblk
+    pad_tail = nblk * b - plan.ndof
+    xpad = jnp.pad(x, (h * b, h * b + pad_tail)).reshape(nblk + 2 * h, b)
+
+    n_tiles = -(-nblk // tile)
+    pad_blk = n_tiles * tile - nblk
+    if pad_blk:
+        blocks = jnp.pad(blocks, ((0, pad_blk), (0, 0), (0, 0), (0, 0)))
+        xpad = jnp.pad(xpad, ((0, pad_blk), (0, 0)))
+
+    y = pl.pallas_call(
+        lambda xr, br, yr: _bsb_matvec_kernel(h, xr, br, yr),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * tile, b), blocks.dtype),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(xpad.shape, lambda i: (0, 0)),  # x whole in VMEM
+            pl.BlockSpec((tile, nb, b, b), lambda i: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile, b), lambda i: (i, 0)),
+        interpret=_interpret(),
+    )(xpad, blocks)
+    return y.reshape(-1)[: plan.ndof]
+
+
 # -- Fused Newmark update -------------------------------------------------------
 
 
