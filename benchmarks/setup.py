@@ -24,8 +24,13 @@ from vf_fem_tpu.residuals import fluid as flr, solid as slr
 
 def setup_model(mesh_path=None):
     """The reference benchmark model: KelvinVoigtWEpithelium +
-    BernoulliAreaRatioSep, explicit coupling
-    (reference: ``benchmarks/setup.py:12-27``)."""
+    BernoulliAreaRatioSep, explicit coupling, on the M5-3layers mesh
+    (reference: ``benchmarks/setup.py:12-27`` +
+    ``benchmark_forward.py:28`` which meshes ``meshes/M5-3layers.msh``)."""
+    if mesh_path is None:
+        mesh_path = os.path.join(
+            os.path.dirname(__file__), "..", "meshes", "M5_3layers.msh"
+        )
     if mesh_path is not None and os.path.exists(mesh_path):
         mesh = load_gmsh(mesh_path)
     else:

@@ -17,13 +17,16 @@ import numpy as np
 
 from vf_fem_tpu import forward, statefile as sf
 from vf_fem_tpu.load import load_fsi_model
-from vf_fem_tpu.mesh import vocal_fold_mesh
+from vf_fem_tpu.mesh import load_gmsh, vocal_fold_mesh
 from vf_fem_tpu.residuals import fluid as flr, solid as slr
 from vf_fem_tpu.vis.xdmfutils import write_xdmf
 
 
 def main():
-    mesh = vocal_fold_mesh(16, 8)
+    msh = os.path.join(
+        os.path.dirname(__file__), "..", "meshes", "M5_CB_GA3.msh"
+    )
+    mesh = load_gmsh(msh) if os.path.exists(msh) else vocal_fold_mesh(16, 8)
     ymax = mesh.coords[:, 1].max()
     model = load_fsi_model(
         mesh, slr.KelvinVoigt, flr.BernoulliAreaRatioSep, coupling="explicit"

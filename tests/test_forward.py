@@ -255,3 +255,35 @@ def test_stale_and_ns_refresh_match_exact(model):
             rtol=1e-8, atol=1e-11,
         )
         assert np.all(np.asarray(info.abs_err) < 1e-6)
+
+
+def test_implicit_fsi_stale_matches_exact():
+    """Implicit (Picard) coupling with window-frozen solid factors matches
+    the per-step-exact implicit integration."""
+    from vf_fem_tpu.residuals import fluid as flr
+    from fixture_models import make_vf_fsi_model
+
+    model = make_vf_fsi_model(
+        FluidResidual=flr.BernoulliSmoothMinSep, coupling="implicit"
+    )
+    times = 5e-5 * np.arange(25)
+    ini_state = model.state0.copy()
+    ini_state[:] = 0.0
+    state0 = {k: np.asarray(v) for k, v in ini_state.sub_items()}
+    cs = forward._stack_controls(model, [model.control])
+    prop = model.prop_to_dict(model.prop)
+
+    fin_ref, traj_ref, _ = forward.integrate_pure(
+        model, state0, cs, prop, times, {"jacobian_refresh_steps": 1}
+    )
+    fin_st, traj_st, info_st = forward.integrate_pure(
+        model, state0, cs, prop, times, {"jacobian_refresh_steps": 8}
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj_st["u"]), np.asarray(traj_ref["u"]),
+        rtol=1e-7, atol=1e-10,
+    )
+    # the Picard residual carries ~1/(beta dt^2) mass-scale terms, so the
+    # meaningful convergence measure is relative
+    assert np.all(np.asarray(info_st.rel_err) < 1e-10)
+    assert np.all(np.asarray(info_st.abs_err) < 1e-4)

@@ -25,10 +25,16 @@ def load_solid_model(
     mesh: Union[str, Mesh],
     Residual: type,
     model_type: str = "transient",
+    reorder: Optional[str] = None,
     **kwargs: Any,
 ):
     """Load a solid model (reference: ``load.py:23-64``; the reference name
-    ``load_fenics_model`` is kept as an alias)."""
+    ``load_fenics_model`` is kept as an alias).
+
+    ``reorder='rcm'`` renumbers the mesh vertices with reverse
+    Cuthill–McKee before building the model — required for the
+    block-banded large-mesh solver (``linear_solver='bsb'``, see
+    ``solvers/bsb.py``), harmless otherwise."""
     if isinstance(mesh, str):
         ext = path.splitext(mesh)[1]
         if ext.lower() == ".msh":
@@ -37,6 +43,12 @@ def load_solid_model(
             raise ValueError(f"Invalid mesh extension {ext}")
     elif not isinstance(mesh, Mesh):
         raise TypeError(f"Invalid `mesh` type {type(mesh)}")
+    if reorder == "rcm":
+        from .mesh.reorder import rcm_mesh
+
+        mesh = rcm_mesh(mesh)
+    elif reorder is not None:
+        raise ValueError(f"Invalid reorder {reorder!r} (use 'rcm' or None)")
 
     residual = Residual(mesh, **kwargs)
     if model_type == "transient":
@@ -83,6 +95,7 @@ def load_fsi_model(
     coupling: str = "explicit",
     fluid_interface_subdomains: Sequence[str] = ("pressure",),
     zs: Optional[np.ndarray] = None,
+    reorder: Optional[str] = None,
 ):
     """
     Load a coupled FSI model (reference: ``load.py:100-162``): build the
@@ -93,7 +106,8 @@ def load_fsi_model(
     fluid_kwargs = fluid_kwargs or {}
 
     solid = load_solid_model(
-        solid_mesh, SolidResidual, model_type=model_type, **solid_kwargs
+        solid_mesh, SolidResidual, model_type=model_type, reorder=reorder,
+        **solid_kwargs
     )
 
     mesh = solid.residual.mesh()

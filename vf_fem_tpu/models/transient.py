@@ -1401,6 +1401,65 @@ class ImplicitFSIModel(BaseTransientFSIModel):
 
         self._step_fwd_only = step_pure
 
+        # ---- Stale-factor variant: the inner solid solves reuse factors
+        # frozen at the window start (same IFT-safety argument as the
+        # explicit model: factors are a solver internal; the converged
+        # Picard point satisfies the residual regardless).
+        def factorize(state0, control, prop, dt, params=_params_key(None)):
+            sl_prop, _ = self._split_prop(prop)
+            p_solid = self._pressure_to_solid(state0["p"])
+            sl_state0 = {k: state0[k] for k in ("u", "v", "a")}
+            return solid.factorize(
+                sl_state0, {"p1": p_solid}, sl_prop, dt, params
+            )
+
+        self.factorize = factorize
+
+        def refresh_factors(factors, state0, control, prop, dt,
+                            params=_params_key(None)):
+            sl_prop, _ = self._split_prop(prop)
+            p_solid = self._pressure_to_solid(state0["p"])
+            sl_state0 = {k: state0[k] for k in ("u", "v", "a")}
+            return solid.refresh_factors(
+                factors, sl_state0, {"p1": p_solid}, sl_prop, dt, params
+            )
+
+        self.refresh_factors = refresh_factors
+
+        def _step_stale_fwd_only(state1_guess, factors, state0, control,
+                                 prop, dt, params):
+            sl_prop, fl_prop = self._split_prop(prop)
+            sl_state0 = {k: state0[k] for k in ("u", "v", "a")}
+            fp_params = {**FIXEDPOINT_SOLVER_PRM}
+            picard_params = tuple(
+                sorted({**dict(params), "initial_guess": "given"}.items())
+            )
+
+            def picard(x):
+                p_solid = self._pressure_to_solid(x["p"])
+                sl_guess = {k: x[k] for k in ("u", "v", "a")}
+                uva1, _ = solid.solve_state1_stale(
+                    sl_guess, factors, sl_state0, {"p1": p_solid},
+                    sl_prop, dt, picard_params,
+                )
+                area = self._area_from_u1(uva1["u"], prop)
+                fl_control = {
+                    "area": area, **{k: control[k] for k in control}
+                }
+                qp1 = fluid.solve_pure(
+                    fl_control, fl_prop, {"q": x["q"], "p": x["p"]}
+                )
+                return {**uva1, **qp1}
+
+            def res_fn(x):
+                return res_pure(x, state0, control, prop, dt)
+
+            from ..solvers.newton import iterative_solve
+
+            return iterative_solve(
+                dict(state1_guess), res_fn, picard, params=fp_params
+            )
+
         # Coupled implicit-function-theorem derivative rules: the Picard
         # while_loop is not differentiable, so both AD modes solve the
         # coupled Jacobian system at the converged state — the jax-native
@@ -1447,6 +1506,49 @@ class ImplicitFSIModel(BaseTransientFSIModel):
 
         step_ift.defvjp(step_ift_fwd, step_ift_bwd)
         self.step_pure = step_ift
+
+        @partial(jax.custom_vjp, nondiff_argnums=(6,))
+        def step_stale_ift(state1_guess, factors, state0, control, prop,
+                           dt, params):
+            return _step_stale_fwd_only(
+                state1_guess, factors, state0, control, prop, dt, params
+            )
+
+        def step_stale_fwd(state1_guess, factors, state0, control, prop,
+                           dt, params):
+            x, info = _step_stale_fwd_only(
+                state1_guess, factors, state0, control, prop, dt, params
+            )
+            return (x, info), (x, factors, state0, control, prop, dt)
+
+        def step_stale_bwd(params, saved, cotangents):
+            x, factors, state0, control, prop, dt = saved
+            xbar, _ = cotangents
+            J, x_flat, unravel = _coupled_jac(x, state0, control, prop, dt)
+            xbar_flat = ravel_pytree(xbar)[0]
+            lam_flat = linalg.dense_solve_transpose(J, xbar_flat)
+            lam = unravel(lam_flat)
+
+            def r_theta(s0, c, p, t):
+                return res_pure(x, s0, c, p, t)
+
+            _, vjp = jax.vjp(r_theta, state0, control, prop, dt)
+            g_s0, g_c, g_p, g_t = vjp(
+                jax.tree_util.tree_map(lambda a: -a, lam)
+            )
+            g_guess = jax.tree_util.tree_map(jnp.zeros_like, x)
+            g_factors = jax.tree_util.tree_map(jnp.zeros_like, factors)
+            return (g_guess, g_factors, g_s0, g_c, g_p, g_t)
+
+        step_stale_ift.defvjp(step_stale_fwd, step_stale_bwd)
+
+        def step_pure_stale(state1_guess, factors, state0, control, prop,
+                            dt, params=_params_key(None)):
+            return step_stale_ift(
+                state1_guess, factors, state0, control, prop, dt, params
+            )
+
+        self.step_pure_stale = step_pure_stale
 
         @partial(jax.custom_jvp, nondiff_argnums=(5,))
         def step_ift_f(state1_guess, state0, control, prop, dt, params):
