@@ -45,7 +45,16 @@ def _polygon_signed_area(poly: np.ndarray) -> float:
 
 
 def _points_in_polygon(pts: np.ndarray, poly: np.ndarray) -> np.ndarray:
-    """Winding-number point-in-polygon (vectorized over pts)."""
+    """Winding-number point-in-polygon (vectorized over pts).
+
+    Dispatches to the native C++ kernel (``native/meshkit.cpp``) when
+    available — this is the mesh-generation hot spot (O(n_pts * n_poly)
+    per smoothing iteration)."""
+    from .. import native as _native
+
+    nat = _native.points_in_polygon_native(pts, poly)
+    if nat is not None:
+        return nat
     x0 = poly  # (m, 2)
     x1 = np.roll(poly, -1, axis=0)
     # for each point, sum crossing contributions
@@ -65,6 +74,11 @@ def _points_in_polygon(pts: np.ndarray, poly: np.ndarray) -> np.ndarray:
 
 def _dist_to_polyline(pts: np.ndarray, poly: np.ndarray) -> np.ndarray:
     """Min distance from each point to the closed polygon boundary."""
+    from .. import native as _native
+
+    nat = _native.dist_to_polyline_native(pts, poly)
+    if nat is not None:
+        return nat
     a = poly
     b = np.roll(poly, -1, axis=0)
     ab = b - a  # (m, 2)

@@ -126,3 +126,52 @@ def sort_edge_chain_native(coords: np.ndarray, origin=None):
     perm = np.empty(n, dtype=np.int32)
     lib.sort_edge_chain(_f64p(coords), n, gdim, _f64p(origin), _i32p(perm))
     return perm
+
+
+def _setup_tri_kernels(lib):
+    if hasattr(lib, "_tri_setup"):
+        return
+    lib.points_in_polygon.restype = None
+    lib.points_in_polygon.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.dist_to_polyline.restype = None
+    lib.dist_to_polyline.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    lib._tri_setup = True
+
+
+def points_in_polygon_native(pts: np.ndarray, poly: np.ndarray):
+    """Native winding-number point-in-polygon; None if unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "points_in_polygon"):
+        return None
+    _setup_tri_kernels(lib)
+    pts = np.ascontiguousarray(pts, dtype=np.float64)
+    poly = np.ascontiguousarray(poly, dtype=np.float64)
+    out = np.empty(pts.shape[0], dtype=np.uint8)
+    lib.points_in_polygon(
+        _f64p(pts), pts.shape[0], _f64p(poly), poly.shape[0],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out.astype(bool)
+
+
+def dist_to_polyline_native(pts: np.ndarray, poly: np.ndarray):
+    """Native min distance to a closed polygon boundary; None if unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "dist_to_polyline"):
+        return None
+    _setup_tri_kernels(lib)
+    pts = np.ascontiguousarray(pts, dtype=np.float64)
+    poly = np.ascontiguousarray(poly, dtype=np.float64)
+    out = np.empty(pts.shape[0], dtype=np.float64)
+    lib.dist_to_polyline(
+        _f64p(pts), pts.shape[0], _f64p(poly), poly.shape[0], _f64p(out)
+    )
+    return out

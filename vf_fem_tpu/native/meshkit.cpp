@@ -121,3 +121,60 @@ void sort_edge_chain(const double* coords, int64_t n, int32_t gdim,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Planar triangulation kernels (used by mesh/triangulate.py): the distmesh
+// smoothing loop evaluates point-in-polygon and distance-to-boundary for
+// every candidate point each iteration, O(n_points * n_boundary) — the
+// mesh-generation hot spot for refined M5 meshes.
+// ---------------------------------------------------------------------------
+
+extern "C" void points_in_polygon(
+    const double* pts, int64_t n_pts,
+    const double* poly, int64_t n_poly,
+    uint8_t* out)
+{
+    for (int64_t p = 0; p < n_pts; ++p) {
+        const double px = pts[2 * p], py = pts[2 * p + 1];
+        int wn = 0;
+        for (int64_t e = 0; e < n_poly; ++e) {
+            const int64_t f = (e + 1) % n_poly;
+            const double x0 = poly[2 * e], y0 = poly[2 * e + 1];
+            const double x1 = poly[2 * f], y1 = poly[2 * f + 1];
+            if (y0 <= py) {
+                if (y1 > py &&
+                    (x1 - x0) * (py - y0) - (px - x0) * (y1 - y0) > 0)
+                    ++wn;
+            } else {
+                if (y1 <= py &&
+                    (x1 - x0) * (py - y0) - (px - x0) * (y1 - y0) < 0)
+                    --wn;
+            }
+        }
+        out[p] = (wn != 0) ? 1 : 0;
+    }
+}
+
+extern "C" void dist_to_polyline(
+    const double* pts, int64_t n_pts,
+    const double* poly, int64_t n_poly,
+    double* out)
+{
+    for (int64_t p = 0; p < n_pts; ++p) {
+        const double px = pts[2 * p], py = pts[2 * p + 1];
+        double best = 1e300;
+        for (int64_t e = 0; e < n_poly; ++e) {
+            const int64_t f = (e + 1) % n_poly;
+            const double ax = poly[2 * e], ay = poly[2 * e + 1];
+            const double bx = poly[2 * f] - ax, by = poly[2 * f + 1] - ay;
+            const double bb = bx * bx + by * by;
+            double t = bb > 1e-30 ? ((px - ax) * bx + (py - ay) * by) / bb
+                                  : 0.0;
+            t = t < 0.0 ? 0.0 : (t > 1.0 ? 1.0 : t);
+            const double dx = px - (ax + t * bx), dy = py - (ay + t * by);
+            const double d2 = dx * dx + dy * dy;
+            if (d2 < best) best = d2;
+        }
+        out[p] = __builtin_sqrt(best);
+    }
+}
