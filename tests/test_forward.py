@@ -287,3 +287,31 @@ def test_implicit_fsi_stale_matches_exact():
     # meaningful convergence measure is relative
     assert np.all(np.asarray(info_st.rel_err) < 1e-10)
     assert np.all(np.asarray(info_st.abs_err) < 1e-4)
+
+
+def test_implicit_fsi_aitken_matches_plain():
+    """Aitken dynamic relaxation for the implicit Picard coupling (the
+    partitioned-FSI accelerator; no reference analog) converges to the
+    same trajectory with no more iterations."""
+    from vf_fem_tpu.residuals import fluid as flr
+    from fixture_models import make_vf_fsi_model
+
+    model = make_vf_fsi_model(
+        FluidResidual=flr.BernoulliSmoothMinSep, coupling="implicit"
+    )
+    times = 5e-5 * np.arange(15)
+    ini_state = model.state0.copy()
+    ini_state[:] = 0.0
+    state0 = {k: np.asarray(v) for k, v in ini_state.sub_items()}
+    cs = forward._stack_controls(model, [model.control])
+    prop = model.prop_to_dict(model.prop)
+
+    f0, _, i0 = forward.integrate_pure(model, state0, cs, prop, times, {})
+    f1, _, i1 = forward.integrate_pure(
+        model, state0, cs, prop, times, {"aitken": True}
+    )
+    np.testing.assert_allclose(
+        np.asarray(f1["u"]), np.asarray(f0["u"]), rtol=1e-8, atol=1e-11
+    )
+    assert np.all(np.asarray(i1.rel_err) < 1e-10)
+    assert np.asarray(i1.num_iter).mean() <= np.asarray(i0.num_iter).mean() + 0.5

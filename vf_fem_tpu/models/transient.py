@@ -1369,6 +1369,10 @@ class ImplicitFSIModel(BaseTransientFSIModel):
             sl_prop, fl_prop = self._split_prop(prop)
             sl_state0 = {k: state0[k] for k in ("u", "v", "a")}
             fp_params = {**FIXEDPOINT_SOLVER_PRM}
+            fp_params.update(
+                (k, v) for k, v in dict(params).items()
+                if k in ("aitken", "aitken_omega0")
+            )
 
             picard_params = tuple(
                 sorted({**dict(params), "initial_guess": "given"}.items())
@@ -1431,6 +1435,10 @@ class ImplicitFSIModel(BaseTransientFSIModel):
             sl_prop, fl_prop = self._split_prop(prop)
             sl_state0 = {k: state0[k] for k in ("u", "v", "a")}
             fp_params = {**FIXEDPOINT_SOLVER_PRM}
+            fp_params.update(
+                (k, v) for k, v in dict(params).items()
+                if k in ("aitken", "aitken_omega0")
+            )
             picard_params = tuple(
                 sorted({**dict(params), "initial_guess": "given"}.items())
             )

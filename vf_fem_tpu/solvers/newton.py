@@ -102,12 +102,21 @@ def iterative_solve(
     converges (replaces ``nonlineq.iterative_solve``, used by the implicit
     FSI model at reference ``transient.py:1031-1033``).
 
+    ``params['aitken'] = True`` enables Aitken dynamic under-relaxation
+    (Kuettler & Wall's partitioned-FSI accelerator):
+    ``x_{k+1} = x_k + w_k d_k`` with ``d_k = step(x_k) - x_k`` and
+    ``w_k = -w_{k-1} <d_{k-1}, d_k - d_{k-1}> / ||d_k - d_{k-1}||^2`` —
+    typically halves the iteration count for strongly coupled steps at
+    the cost of one pytree saxpy.  The reference has no analog (plain
+    fixed-point only).
+
     ``x0`` may be any pytree; ``assem_res(x)`` returns a residual pytree.
     """
     params = {**DEFAULT_NEWTON_SOLVER_PRM, **(params or {})}
     abs_tol = params["absolute_tolerance"]
     rel_tol = params["relative_tolerance"]
     max_iter = params.get("maximum_iterations", 50)
+    aitken = bool(params.get("aitken", False))
 
     if norm is None:
 
@@ -117,18 +126,61 @@ def iterative_solve(
 
     err0 = norm(assem_res(x0))
 
-    def cond(carry):
-        x, err, k = carry
-        not_conv = jnp.logical_and(err >= abs_tol, err >= rel_tol * err0)
-        return jnp.logical_and(not_conv, k < max_iter)
+    if not aitken:
 
-    def body(carry):
-        x, err, k = carry
-        x = step(x)
-        err = norm(assem_res(x))
-        return (x, err, k + 1)
+        def cond(carry):
+            x, err, k = carry
+            not_conv = jnp.logical_and(err >= abs_tol, err >= rel_tol * err0)
+            return jnp.logical_and(not_conv, k < max_iter)
 
-    x, err, k = jax.lax.while_loop(cond, body, (x0, err0, 0))
+        def body(carry):
+            x, err, k = carry
+            x = step(x)
+            err = norm(assem_res(x))
+            return (x, err, k + 1)
+
+        x, err, k = jax.lax.while_loop(cond, body, (x0, err0, 0))
+    else:
+        tmap = jax.tree_util.tree_map
+
+        def _dot(a, b):
+            return sum(
+                jnp.vdot(la, lb)
+                for la, lb in zip(
+                    jax.tree_util.tree_leaves(a),
+                    jax.tree_util.tree_leaves(b),
+                )
+            )
+
+        w0 = jnp.asarray(params.get("aitken_omega0", 1.0), dtype=err0.dtype)
+        d0 = tmap(jnp.zeros_like, x0)
+
+        def cond(carry):
+            x, err, d_prev, w, k = carry
+            not_conv = jnp.logical_and(err >= abs_tol, err >= rel_tol * err0)
+            return jnp.logical_and(not_conv, k < max_iter)
+
+        def body(carry):
+            x, err, d_prev, w, k = carry
+            d = tmap(lambda g, xi: g - xi, step(x), x)
+            dd = tmap(lambda a, b: a - b, d, d_prev)
+            denom = _dot(dd, dd)
+            w_new = jnp.where(
+                denom > 0.0, -w * _dot(d_prev, dd) / jnp.where(
+                    denom == 0.0, 1.0, denom
+                ), w,
+            )
+            # first iteration (d_prev = 0): plain step (w = w0)
+            w_new = jnp.where(k == 0, w, w_new)
+            # clamp for robustness
+            w_new = jnp.clip(w_new, 0.05, 2.0)
+            x = tmap(lambda xi, di: xi + w_new * di, x, d)
+            err = norm(assem_res(x))
+            return (x, err, d, w_new, k + 1)
+
+        x, err, _, _, k = jax.lax.while_loop(
+            cond, body, (x0, err0, d0, w0, 0)
+        )
     info = SolveInfo(
         num_iter=k, abs_err=err, rel_err=err / jnp.where(err0 == 0, 1.0, err0)
     )
