@@ -140,3 +140,31 @@ def test_bsb_fsi_trajectory_matches_dense():
         rtol=1e-8, atol=1e-12,
     )
     assert np.all(np.asarray(info_b.abs_err) < 1e-6)
+
+
+def test_bsb_matvec_3d_extruded():
+    """The block-banded operator works unchanged on extruded 3D tet
+    meshes (3x3 nodal blocks, RCM'd tets)."""
+    from vf_fem_tpu.mesh import m5_mesh
+    from vf_fem_tpu.mesh.extrude import extrude_mesh
+
+    mesh = rcm_mesh(
+        extrude_mesh(
+            m5_mesh("M5_CB_GA3", h=0.1, smooth_iters=5),
+            np.linspace(0.0, 1.5, 3),
+        )
+    )
+    model = load_solid_model(mesh, slr.KelvinVoigt)
+    prop = {k: jnp.asarray(v) for k, v in model.prop.sub_items()}
+    s0 = {k: jnp.zeros(model.ndof) for k in ("u", "v", "a")}
+    ctrl = {"p1": jnp.full(model.nvert, 500.0)}
+    op = model.jac_u_ebe(s0["u"], s0, ctrl, prop, 1e-4)
+    plan = model._get_bsb_plan()
+    blocks = bsb.bsb_fill(plan, [op.J_cells, op.J_facets])
+    A = np.asarray(model.jac_u_dense(s0["u"], s0, ctrl, prop, 1e-4))
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal(model.ndof))
+    np.testing.assert_allclose(
+        np.asarray(bsb.bsb_matvec(plan, blocks, x)), A @ np.asarray(x),
+        rtol=1e-9, atol=1e-7,
+    )

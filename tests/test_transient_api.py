@@ -135,3 +135,19 @@ def test_cg_newton_matches_dense(model):
         rtol=1e-6,
         atol=1e-10,
     )
+
+
+def test_fixed_iteration_newton_matches_adaptive(model):
+    """Statically unrolled Newton ('fixed_iterations') reproduces the
+    adaptive while_loop solve (used for latency-bound TPU steps)."""
+    model.dt = 1e-4
+    state0 = model.state0.copy()
+    s_adapt, info_a = model.solve_state1(state0)
+    s_fixed, info_f = model.solve_state1(
+        state0, options={"fixed_iterations": 4}
+    )
+    np.testing.assert_allclose(
+        s_fixed.to_mono_ndarray(), s_adapt.to_mono_ndarray(),
+        rtol=1e-8, atol=1e-12,
+    )
+    assert info_f["num_iter"] == 4

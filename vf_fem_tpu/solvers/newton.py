@@ -46,6 +46,32 @@ def newton_solve(
     abs_tol = params["absolute_tolerance"]
     rel_tol = params["relative_tolerance"]
     max_iter = params["maximum_iterations"]
+
+    # Statically unrolled fixed-iteration mode: no while_loop, no per-step
+    # convergence branching — XLA fuses across iterations, which wins on
+    # latency-bound (small-mesh) TPU steps and under vmap (every batch
+    # element does identical work).  Convergence is still *reported*
+    # (num_iter/abs_err/rel_err flow to the statefile) just not adaptive;
+    # validate the iteration count against an adaptive run.
+    n_fixed = params.get("fixed_iterations")
+    if n_fixed:
+        x = x0
+        res = assem_res(x)
+        err0 = jnp.linalg.norm(res)
+        x_best, err_best = x, err0
+        for _ in range(int(n_fixed)):
+            x = x - solve_jac(x, res)
+            res = assem_res(x)
+            err = jnp.linalg.norm(res)
+            better = err < err_best
+            x_best = jnp.where(better, x, x_best)
+            err_best = jnp.where(better, err, err_best)
+        info = SolveInfo(
+            num_iter=jnp.asarray(int(n_fixed)),
+            abs_err=err_best,
+            rel_err=err_best / jnp.where(err0 == 0, 1.0, err0),
+        )
+        return x_best, info
     # Stop when an iteration fails to reduce the residual by this factor:
     # in reduced precision the achievable residual is set by the rounding
     # noise floor of the residual evaluation itself (large on TPU f32 due
