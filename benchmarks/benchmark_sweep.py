@@ -58,6 +58,9 @@ def main():
         "jacobian_refresh_mode": "ns",
         "jacobian_full_refresh_windows": 8,
         "stagnation_ratio": 0.5,
+        # statically unrolled Newton: identical work per variant under
+        # vmap (no batch-max while_loop); +7% measured, f32-noise match
+        "fixed_iterations": 2,
     }
 
     def run_one(p):
