@@ -74,7 +74,6 @@ def extrude_mesh(mesh2d: Mesh, zs, fix_ends: bool = True) -> Mesh:
     # --- facet markers ---
     facets = np.asarray(m3.facets)
     key_to_facet = {}
-    bset = set(np.asarray(m3.boundary_facets).tolist())
     for fi in np.asarray(m3.boundary_facets):
         key_to_facet[tuple(sorted(facets[fi].tolist()))] = fi
     mf1_2d = mesh2d.mesh_functions[1]

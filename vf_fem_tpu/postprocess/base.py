@@ -48,11 +48,19 @@ class TimeSeries:
         if ns is None:
             ns = range(f.size)
         prop = f.get_prop()
+        # Post-processing is host-side analysis of stored trajectories:
+        # pin the (eager, per-state) array ops to the local CPU device.
+        # On remote-tunnelled TPU backends each eager op costs a network
+        # round-trip (~0.2 s/state measured), a 20x+ slowdown for zero
+        # benefit — the data starts and ends on the host.
+        import jax
+
         out = []
-        for n in ns:
-            state = f.get_state(n)
-            control = f.get_control(n)
-            out.append(np.asarray(self.measure(state, control, prop)))
+        with jax.default_device(jax.devices("cpu")[0]):
+            for n in ns:
+                state = f.get_state(n)
+                control = f.get_control(n)
+                out.append(np.asarray(self.measure(state, control, prop)))
         return np.array(out)
 
 

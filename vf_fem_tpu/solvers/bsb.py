@@ -47,7 +47,8 @@ class BSBPlan(NamedTuple):
     nb: int  # neighbor blocks per block row (2h+1)
     h: int  # half-band in blocks
     # scatter targets: flat index into blocks[nblk, nb, b, b] for every
-    # (element, i, j) source entry; -1 entries are dropped (BC rows)
+    # (element, i, j) source entry; entries with src_keep False (BC rows)
+    # contribute zero and identity rows are installed via diag_ones
     tgt_idx: np.ndarray  # (n_src,)
     src_keep: np.ndarray  # (n_src,) bool
     bc_dofs: np.ndarray
