@@ -115,6 +115,18 @@ def main():
         model, cg_tol, args.steps, "bsb+bicgstab (stale, block-Jacobi)"
     )
 
+    btd_tol = {
+        "linear_solver": "btd",
+        "jacobian_refresh_steps": 8,
+        "stagnation_ratio": 0.5,
+    }
+    tps_btd, fin_btd = run(
+        model, btd_tol, args.steps, "btd direct (stale block-Thomas)"
+    )
+    du = np.abs(np.asarray(fin_btd["u"]) - np.asarray(fin_cg["u"])).max()
+    print(f"btd-vs-bsb trajectory max|du| = {du:.3e};"
+          f" speedup {tps_btd / tps_cg:.2f}x")
+
     if ndof <= args.dense_limit:
         dense_tol = {"jacobian_refresh_steps": 8, "stagnation_ratio": 0.5}
         tps_d, fin_d = run(model, dense_tol, args.steps, "dense LU (stale)")

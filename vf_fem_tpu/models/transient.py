@@ -55,7 +55,11 @@ def _params_key(params: Optional[dict]) -> tuple:
     return tuple(sorted(params.items()))
 
 
-_ITERATIVE_SOLVERS = ("cg", "bsb")
+_ITERATIVE_SOLVERS = ("cg", "bsb", "btd")
+# adjoint (transposed) solves for the direct 'btd' factorization reroute
+# to matrix-free Krylov — the transpose factorization isn't worth its
+# cost for a once-per-step backward solve
+_BWD_FALLBACK = {"btd": "cg"}
 
 
 def _iter_solve(factors, r, params_d, transpose=False, bsb_plan=None):
@@ -70,6 +74,12 @@ def _iter_solve(factors, r, params_d, transpose=False, bsb_plan=None):
     the drive pressure is on (measured).  Set ``'krylov': 'pcg'`` for
     symmetric problems (no follower load) where CG's single matvec wins."""
     from ..solvers import bsb as bsb_mod
+
+    if params_d.get("linear_solver") == "btd":
+        from ..solvers import btd as btd_mod
+
+        assert not transpose  # bwd paths reroute via _BWD_FALLBACK
+        return btd_mod.btd_solve(bsb_plan, factors, r)
 
     A, Dinv = factors
     block = Dinv.shape[-1]
@@ -428,8 +438,16 @@ class SolidModel(BaseTransientModel):
 
         def make_iter_factors(u_lin, state0, control, prop, dt, params_d):
             op = jac_u_ebe(u_lin, state0, control, prop, dt)
+            ls = params_d.get("linear_solver")
+            if ls == "btd":
+                from ..solvers import bsb as bsb_mod, btd as btd_mod
+
+                blocks = bsb_mod.bsb_fill(
+                    get_bsb_plan(), [op.J_cells, op.J_facets]
+                )
+                return btd_mod.btd_factor(get_bsb_plan(), blocks)
             Dinv = op.block_diag_inverse(dim)
-            if params_d.get("linear_solver") == "bsb":
+            if ls == "bsb":
                 from ..solvers import bsb as bsb_mod
 
                 blocks = bsb_mod.bsb_fill(
@@ -441,7 +459,7 @@ class SolidModel(BaseTransientModel):
         def iter_solve(factors, r, params_d, transpose=False):
             plan = (
                 get_bsb_plan()
-                if params_d.get("linear_solver") == "bsb"
+                if params_d.get("linear_solver") in ("bsb", "btd")
                 else None
             )
             return _iter_solve(
@@ -518,7 +536,9 @@ class SolidModel(BaseTransientModel):
             u1_bar, _info_bar = cotangents
             # lambda = J^{-T} u1_bar ; theta_bar = -(dR/dtheta)^T lambda
             params_d = dict(params)
-            if params_d.get("linear_solver", "dense") in _ITERATIVE_SOLVERS:
+            ls = params_d.get("linear_solver", "dense")
+            params_d["linear_solver"] = _BWD_FALLBACK.get(ls, ls)
+            if params_d["linear_solver"] in _ITERATIVE_SOLVERS:
                 fac = make_iter_factors(
                     u1, state0, control, prop, dt, params_d
                 )
@@ -682,7 +702,9 @@ class SolidModel(BaseTransientModel):
             u1, factors, state0, control, prop, dt = saved
             u1_bar, _ = cotangents
             params_d = dict(params)
-            if params_d.get("linear_solver", "dense") in _ITERATIVE_SOLVERS:
+            ls = params_d.get("linear_solver", "dense")
+            params_d["linear_solver"] = _BWD_FALLBACK.get(ls, ls)
+            if params_d["linear_solver"] in _ITERATIVE_SOLVERS:
                 # matrix-free adjoint: transposed operator at u1
                 fac = make_iter_factors(
                     u1, state0, control, prop, dt, params_d
