@@ -117,7 +117,11 @@ def main():
 
     btd_tol = {
         "linear_solver": "btd",
-        "jacobian_refresh_steps": 8,
+        # direct solves make refreshes the cost center: longer windows +
+        # fixed 3-iteration chord Newton (rel_err stays at the f32 floor;
+        # fixed-2 degrades it 8x - rejected)
+        "jacobian_refresh_steps": 16,
+        "fixed_iterations": 3,
         "stagnation_ratio": 0.5,
     }
     tps_btd, fin_btd = run(
