@@ -229,3 +229,35 @@ def test_traction_shape(model):
     lhs = np.dot(hy.to_mono_ndarray(), dy.to_mono_ndarray())
     rhs = np.dot(t.apply_vjp(x, hy).to_mono_ndarray(), dx.to_mono_ndarray())
     np.testing.assert_allclose(lhs, rhs, rtol=1e-9)
+
+
+def test_layer_moduli_on_m5_3layer_cad():
+    """LayerModuli maps per-layer stiffnesses onto the real 3-layer CAD
+    geometry's body/ligament/cover cell subdomains (the reference's layer
+    workflow, reference ``transform.py:419-454`` +
+    ``meshes/geometries/M5-3layers*.STEP``)."""
+    import os
+
+    from vf_fem_tpu.load import load_solid_model
+    from vf_fem_tpu.parameters.transform import LayerModuli
+    from vf_fem_tpu.residuals import solid as slr
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    model = load_solid_model(
+        os.path.join(repo, "meshes", "M5_3layers.msh"), slr.KelvinVoigt
+    )
+    tf = LayerModuli(model)
+    assert {"body", "ligament", "cover"} <= set(tf.x.keys())
+
+    x = tf.x.copy()
+    x["body"][:] = 6e4
+    x["ligament"][:] = 2e4
+    x["cover"][:] = 1e4
+    prop = tf.apply(x)
+    emod = np.asarray(prop["emod"])
+
+    mesh = model.residual.mesh()
+    for name, val in (("body", 6e4), ("ligament", 2e4), ("cover", 1e4)):
+        marker = mesh.subdomains[2][name]
+        cells = mesh.mesh_functions[2] == marker
+        np.testing.assert_allclose(emod[cells], val)
