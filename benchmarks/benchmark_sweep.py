@@ -61,6 +61,11 @@ def main():
         # statically unrolled Newton: identical work per variant under
         # vmap (no batch-max while_loop); +7% measured, f32-noise match
         "fixed_iterations": 2,
+        # single-pass bf16 MXU for the Newton-Schulz refresh GEMMs (the
+        # sweep's dominant cost): +32% measured, f32-noise match (the
+        # inverse is a preconditioner; Newton quality is set by the
+        # residual, computed at full working precision)
+        "jacobian_refresh_precision": "default",
     }
 
     def run_one(p):

@@ -667,8 +667,12 @@ class SolidModel(BaseTransientModel):
                 return factorize(state0, control, prop, dt, params)
             u_lin = _initial_guess(None, state0, dt, params)
             A = jac_u_dense(u_lin, state0, control, prop, dt)
-            iters = int(dict(params).get("jacobian_refresh_iters", 2))
-            return linalg.dense_refresh(factors, A, iters)
+            params_d = dict(params)
+            iters = int(params_d.get("jacobian_refresh_iters", 2))
+            return linalg.dense_refresh(
+                factors, A, iters,
+                precision=params_d.get("jacobian_refresh_precision"),
+            )
 
         self.refresh_factors = refresh_factors
 

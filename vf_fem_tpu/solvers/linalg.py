@@ -12,6 +12,7 @@ Replaces PETSc KSP/LU (reference: ``dfn.solve(A, x, b, 'petsc')`` at
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, NamedTuple
 
 import jax
@@ -66,7 +67,8 @@ def dense_factor_solve(factors, b: jnp.ndarray) -> jnp.ndarray:
     return (Ainv @ (b / d)) / d
 
 
-def dense_refresh(factors, A: jnp.ndarray, iters: int = 2):
+def dense_refresh(factors, A: jnp.ndarray, iters: int = 2,
+                  precision: str = None):
     """Newton–Schulz update of an explicit inverse toward a drifted matrix.
 
     ``factors = (X, d_old)`` approximates the inverse of an earlier Jacobian
@@ -81,6 +83,13 @@ def dense_refresh(factors, A: jnp.ndarray, iters: int = 2):
     contact penalty).  The downstream Newton solve is residual-certified
     with best-iterate tracking, so an occasional low-quality refresh costs
     iterations, not correctness.
+
+    ``precision``: matmul precision for the update products (e.g.
+    'default' = single-pass bf16 MXU, ~4x the throughput of the package
+    default 'float32' 3-pass).  The refreshed inverse is a preconditioner
+    for a residual-certified Newton, so the bf16 error floor (~3e-3
+    relative) costs at most an extra cheap iteration — the right trade
+    for batched sweeps where the refresh GEMMs dominate.
     """
     d = _equilibrate(A)
     As = A / d[:, None] / d[None, :]
@@ -90,8 +99,9 @@ def dense_refresh(factors, A: jnp.ndarray, iters: int = 2):
     s = d / d_old
     X = X * s[:, None] * s[None, :]
     eye = jnp.eye(A.shape[0], dtype=A.dtype)
+    mm = partial(jnp.matmul, precision=precision) if precision else jnp.matmul
     for _ in range(iters):
-        X = X + X @ (eye - As @ X)
+        X = X + mm(X, eye - mm(As, X))
     return (X, d)
 
 
