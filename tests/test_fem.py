@@ -145,3 +145,121 @@ def test_residual_assembles(Residual):
     assert res.shape == (mesh.num_vertices, 2)
     assert np.all(np.isfinite(res))
     assert np.linalg.norm(res) > 0
+
+
+# ---------------------------------------------------------------------------
+# Per-form-family exactness checks (BASELINE config 1 companion: closed
+# forms instead of a FEniCS cross-check)
+# ---------------------------------------------------------------------------
+
+
+def _zero_fields(residual, mesh):
+    fields = {
+        key: jnp.zeros(residual.coefficient_shape(key))
+        for key in residual.coefficient_spec
+    }
+    # keep contact/pressure inert and denominators sane
+    for key, val in (
+        ("prop/ycontact", [np.inf]),
+        ("prop/kcontact", [0.0]),
+        ("prop/nu", [0.45]),
+        ("prop/v_swelling", None),  # ones, set below
+        ("prop/m_swelling", [0.0]),
+        ("prop/length", [1.0]),
+        ("prop/muscle_stress", [0.0]),
+    ):
+        if key in fields:
+            if key == "prop/v_swelling":
+                fields[key] = jnp.ones(residual.coefficient_shape(key))
+            else:
+                fields[key] = jnp.broadcast_to(
+                    jnp.asarray(val), fields[key].shape
+                )
+    if "prop/ncontact" in fields:
+        fields["prop/ncontact"] = (
+            jnp.zeros(mesh.dim).at[1].set(1.0)
+        )
+    return fields
+
+
+@pytest.mark.parametrize("Residual", [
+    slr.Rayleigh,
+    slr.KelvinVoigt,
+    slr.KelvinVoigtWEpithelium,
+    slr.IncompSwellingKelvinVoigt,
+    slr.SwellingKelvinVoigt,
+    slr.SwellingKelvinVoigtWEpithelium,
+    slr.SwellingPowerLawKelvinVoigtWEpitheliumNoShape,
+    # NOT Approximate3DKelvinVoigt: its APForceForm models the restoring
+    # force of anterior/posterior clamped planes (-2 mu u / length^2,
+    # reference ``form.py:993-1033``), which by design reacts to rigid
+    # in-plane translation.
+])
+def test_translation_invariance_per_family(Residual):
+    """Rigid translation produces exactly zero residual for every solid
+    form family (quadrature-exactness: any spurious constant term or
+    mis-integrated gradient would break this identically-zero result)."""
+    mesh = mark_unit_mesh_fixtures(unit_square_mesh(4, 4))
+    residual = Residual(mesh)
+    fields = _zero_fields(residual, mesh)
+    fields["prop/emod"] = jnp.full(mesh.num_cells, 3e4)
+    if "prop/rho" in fields:
+        fields["prop/rho"] = jnp.ones(mesh.num_cells)
+
+    u_rigid = np.tile([0.37, -0.12], (mesh.num_vertices, 1))
+    fields["state/u1"] = jnp.asarray(u_rigid)
+    res = np.asarray(residual.assemble_res(fields))
+    scale = 3e4 * mesh.num_vertices
+    np.testing.assert_allclose(res, 0.0, atol=1e-12 * scale)
+
+
+def test_swelling_reduces_to_elastic_at_unit_volume():
+    """The Gou2016 swelling stress at v_swelling = 1 (no swelling) equals
+    the plain isotropic elastic response for small strains (reference
+    ``form.py:613-663``: at v=1 the swelling kinematics are the identity).
+    The swelling form uses Green-Lagrange strain, so agreement is to
+    O(|grad u|^2) — checked by halving the strain (rate 2)."""
+    mesh = mark_unit_mesh_fixtures(unit_square_mesh(4, 4))
+    res_sw = slr.SwellingKelvinVoigt(mesh)
+    res_el = slr.KelvinVoigt(mesh)
+
+    errs = []
+    for eps in (1e-3, 5e-4, 2.5e-4):
+        A = eps * np.array([[1.0, 0.3], [0.2, -0.5]])
+        u = mesh.coords @ A.T
+
+        out = []
+        for residual in (res_sw, res_el):
+            fields = _zero_fields(residual, mesh)
+            fields["prop/emod"] = jnp.full(mesh.num_cells, 3e4)
+            fields["prop/nu"] = jnp.broadcast_to(
+                jnp.asarray([0.45]), fields["prop/nu"].shape
+            )
+            fields["state/u1"] = jnp.asarray(u)
+            out.append(np.asarray(residual.assemble_res(fields)))
+        denom = np.abs(out[1]).max()
+        errs.append(np.abs(out[0] - out[1]).max() / denom)
+    # second-order agreement in strain
+    assert errs[0] / errs[1] > 1.7
+    assert errs[1] / errs[2] > 1.7
+
+
+def test_rayleigh_mass_damping_identity():
+    """Rayleigh damping with only the mass term (rayleigh_k = 0) and a
+    constant velocity integrates exactly to rayleigh_m * mass * v."""
+    mesh = mark_unit_mesh_fixtures(unit_square_mesh(4, 4))
+    residual = slr.Rayleigh(mesh)
+    fields = _zero_fields(residual, mesh)
+    fields["prop/emod"] = jnp.full(mesh.num_cells, 3e4)
+    fields["prop/rho"] = jnp.ones(mesh.num_cells)
+    fields["prop/rayleigh_m"] = jnp.broadcast_to(
+        jnp.asarray([2.5]), fields["prop/rayleigh_m"].shape
+    )
+    fields["prop/rayleigh_k"] = jnp.zeros_like(fields["prop/rayleigh_k"])
+    v = np.tile([3.0, 0.0], (mesh.num_vertices, 1))
+    fields["state/v1"] = jnp.asarray(v)
+    res = np.asarray(residual.assemble_res(fields))
+    total = res.sum(axis=0)
+    # unit square: mass = 1
+    np.testing.assert_allclose(total[0], 2.5 * 3.0, rtol=1e-12)
+    np.testing.assert_allclose(total[1], 0.0, atol=1e-12)
