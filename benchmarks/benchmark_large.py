@@ -105,6 +105,7 @@ def main():
     print(f"device {jax.devices()[0].platform}, solid ndof = {ndof}")
 
     cg_tol = {
+        "assembly": "banded",
         "linear_solver": "bsb",
         "krylov_tolerance": 1e-4,
         "krylov_max_iter": 200,
@@ -116,6 +117,7 @@ def main():
     )
 
     btd_tol = {
+        "assembly": "banded",
         "linear_solver": "btd",
         # direct solves make refreshes the cost center: longer windows +
         # fixed 3-iteration chord Newton (rel_err stays at the f32 floor;

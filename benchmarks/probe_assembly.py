@@ -1,0 +1,212 @@
+"""
+Microbenchmark: decompose large-mesh residual-assembly time on the device.
+
+Times, separately: the cg1 gathers (u[cells]-style), the vmapped element
+kernel with pre-gathered locals, the segment-sum scatter, and the full
+``res_u``.  Used to target the banded-assembly work (STATUS.md: residual
+assembly is the remaining large-mesh cost center).
+
+Usage: python probe_assembly.py [--h 0.006]
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+from benchmarkutils import maybe_profile  # noqa: F401  (repo path setup)
+from setup import setup_transient_args
+from benchmark_large import build_model
+
+
+N_INNER = 100
+
+
+def timeit(fn, *args, n=5):
+    """Time fn inside a jitted lax.scan with N_INNER iterations — the
+    per-call remote-dispatch latency (~27 ms through the axon tunnel)
+    otherwise swamps every measurement."""
+    import jax
+    import jax.numpy as jnp
+
+    def looped(args):
+        def body(carry, _):
+            # make inputs carry-dependent so XLA cannot hoist the body out
+            # of the loop (loop-invariant code motion)
+            args_p = jax.tree_util.tree_map(
+                lambda a: a + (carry * 1e-38).astype(a.dtype)
+                if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+                else a,
+                args,
+            )
+            out = fn(*args_p)
+            # fold the output into a scalar carry so nothing is dead code
+            s = sum(
+                jnp.sum(leaf) for leaf in jax.tree_util.tree_leaves(out)
+            )
+            return carry + s, None
+
+        c, _ = jax.lax.scan(body, jnp.zeros(()), None, length=N_INNER)
+        return c
+
+    run = jax.jit(looped)
+    out = run(args)
+    jax.block_until_ready(out)
+    best = np.inf
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = run(args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best / N_INNER
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--h", type=float, default=0.006)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    model = build_model(args.h)
+    solid = model.solid
+    R = solid._residual
+    topo = R.topology
+    ndof = solid.ndof
+    nvert = solid.nvert
+    dim = solid.dim
+    print(f"device {jax.devices()[0].platform}, ndof={ndof},"
+          f" nc={topo.n_cells}, nf={topo.facet_cells.shape[0]}")
+
+    state0_bv, control, prop = setup_transient_args(model)
+    model.set_prop(prop)
+    sprop = {k: jnp.asarray(np.asarray(v))
+             for k, v in solid.prop.sub_items()}
+
+    u = jnp.zeros(ndof)
+    state0 = {"u": u, "v": u, "a": u}
+    ctrl = {"p1": jnp.zeros(R.coefficient_shape("control/p1"))} \
+        if "control/p1" in R.coefficient_spec else {}
+    dt = 1e-4
+
+    # full Newton residual
+    res_u = jax.jit(lambda uu: solid.res_u(uu, state0, ctrl, sprop, dt))
+    t = timeit(res_u, u)
+    print(f"res_u total:            {t*1e3:8.3f} ms")
+
+    # banded (gather-free Pallas) variant
+    try:
+        R.banded_plan()
+        res_ub = jax.jit(
+            lambda uu: solid.res_u(uu, state0, ctrl, sprop, dt, banded=True)
+        )
+        err = float(
+            np.abs(np.asarray(res_ub(u)) - np.asarray(res_u(u))).max()
+        )
+        t = timeit(res_ub, u)
+        print(f"res_u banded:           {t*1e3:8.3f} ms (|diff| {err:.2e})")
+    except AssertionError as e:
+        print(f"banded plan unavailable: {e}")
+
+    # gathers only
+    cells = topo.cells
+
+    @jax.jit
+    def gathers(uu):
+        x = uu.reshape(nvert, dim)
+        return (x[cells], x[cells], x[cells], x[cells])
+
+    t = timeit(gathers, u)
+    print(f"4x cg1 gathers:         {t*1e3:8.3f} ms")
+
+    # element kernel with pre-gathered locals (cell pass only)
+    prop_fields = solid._prop_fields(sprop)
+    fields = dict(prop_fields)
+    z2 = jnp.zeros((nvert, dim))
+    fields["state/u1"] = z2
+    fields["state/v1"] = z2
+    fields["state/a1"] = z2
+    if "control/p1" in R.coefficient_spec:
+        fields["control/p1"] = jnp.zeros(R.coefficient_shape("control/p1"))
+    if "control/tcontact" in R.coefficient_spec:
+        fields["control/tcontact"] = jnp.zeros((nvert, dim))
+    local, axes = R.gather_cell_locals(fields)
+    local = jax.tree_util.tree_map(jnp.asarray, local)
+    Xe = jnp.asarray(R.ref_mesh_coords)[cells]
+    cell_elem = R.cell_elem_fn()
+
+    @jax.jit
+    def kern(Xe, local):
+        return jax.vmap(cell_elem, in_axes=(0, axes))(Xe, local)
+
+    t = timeit(kern, Xe, local)
+    print(f"cell kernel (gathered): {t*1e3:8.3f} ms")
+    res_c = kern(Xe, local)
+
+    # SoA variant: batch axis LAST so per-element scalars are (nc,) lane
+    # vectors instead of tiny padded trailing dims
+    local_soa = {
+        k: (jnp.moveaxis(v, 0, -1) if axes[k] == 0 else v)
+        for k, v in local.items()
+    }
+    axes_soa = {k: (-1 if axes[k] == 0 else None) for k in axes}
+    Xe_soa = jnp.moveaxis(Xe, 0, -1)
+
+    @jax.jit
+    def kern_soa(Xe, local):
+        return jax.vmap(cell_elem, in_axes=(-1, axes_soa), out_axes=-1)(
+            Xe, local
+        )
+
+    t = timeit(kern_soa, Xe_soa, local_soa)
+    print(f"cell kernel (SoA):      {t*1e3:8.3f} ms")
+
+    # scatter only
+    from vf_fem_tpu.fem import assembly
+
+    @jax.jit
+    def scat(res_c):
+        return assembly.scatter_add(res_c, cells, nvert)
+
+    t = timeit(scat, res_c)
+    print(f"segment_sum scatter:    {t*1e3:8.3f} ms")
+
+    # streaming floor: sum the same bytes the gathers touch
+    big = jnp.zeros((topo.n_cells, cells.shape[1], dim))
+
+    @jax.jit
+    def stream(a):
+        return a.sum()
+
+    t = timeit(stream, big)
+    print(f"stream (nc,nv,dim) sum: {t*1e3:8.3f} ms")
+
+    # ---- Jacobian-refresh path (amortized over the refresh window) ----
+    from vf_fem_tpu.solvers import bsb as bsb_mod, btd as btd_mod
+
+    jacb = jax.jit(
+        lambda uu: solid.jac_u_blocks(uu, state0, ctrl, sprop, dt)
+    )
+    t = timeit(jacb, u, n=3)
+    print(f"jac_u_blocks:           {t*1e3:8.3f} ms")
+    Jc, Jf = jacb(u)
+    plan = solid._get_bsb_plan()
+
+    fill = jax.jit(lambda Jc, Jf: bsb_mod.bsb_fill(plan, [Jc, Jf]))
+    t = timeit(fill, Jc, Jf, n=3)
+    print(f"bsb_fill:               {t*1e3:8.3f} ms")
+    blocks = fill(Jc, Jf)
+
+    fac = jax.jit(lambda b: btd_mod.btd_factor(plan, b))
+    t = timeit(fac, blocks, n=3)
+    print(f"btd_factor:             {t*1e3:8.3f} ms")
+
+    factors = fac(blocks)
+    solve = jax.jit(lambda r: btd_mod.btd_solve(plan, factors, r))
+    t = timeit(solve, u, n=3)
+    print(f"btd_solve:              {t*1e3:8.3f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -42,6 +42,14 @@ _PRECISION = os.environ.get("VF_FEM_TPU_MATMUL_PRECISION", "float32")
 jax.config.update("jax_default_matmul_precision", _PRECISION)
 
 
+# Banded (gather-free Pallas) residual assembly for bandwidth-ordered
+# meshes (``fem.banded``): 'auto' enables it on TPU when the mesh is
+# RCM-ordered (the irregular gathers it replaces are the large-mesh cost
+# center there); '1' forces it on everywhere (interpret-mode Pallas on
+# CPU — slow, for testing); '0' disables.
+BANDED_ASSEMBLY: str = os.environ.get("VF_FEM_TPU_BANDED", "auto")
+
+
 def real_dtype():
     """Return the working real dtype."""
     import jax.numpy as jnp

@@ -17,18 +17,43 @@ from .elements import det_small, inv_small
 I3 = jnp.eye(3)
 
 
+# Tiny per-element tensor ops are unrolled into elementwise stacks (no
+# ``@``/swapaxes/.at[] on the minor dims): under ``vmap`` those lower to
+# batched tiny dot_generals and transposes that break XLA fusion and
+# materialize padded-layout intermediates (see ``fem.elements.interp``).
+
+
 def pad_to_3x3(A: jnp.ndarray) -> jnp.ndarray:
     """Embed a 2x2 tensor into the upper-left of a 3x3 zero tensor."""
     if A.shape[-1] == 3:
         return A
-    return jnp.zeros(A.shape[:-2] + (3, 3), A.dtype).at[..., :2, :2].set(A)
+    z = jnp.zeros_like(A[..., 0, 0])
+    rows = [
+        [A[..., i, j] if (i < 2 and j < 2) else z for j in range(3)]
+        for i in range(3)
+    ]
+    return jnp.stack(
+        [jnp.stack(r, axis=-1) for r in rows], axis=-2
+    )
 
 
 def strain_inf(grad_u: jnp.ndarray) -> jnp.ndarray:
     """Infinitesimal strain, padded to 3x3 in 2D
     (reference: ``uflcontinuum.py:73-88``)."""
-    e = 0.5 * (grad_u + jnp.swapaxes(grad_u, -1, -2))
-    return pad_to_3x3(e)
+    d = grad_u.shape[-1]
+    z = jnp.zeros_like(grad_u[..., 0, 0])
+    rows = [
+        [
+            0.5 * (grad_u[..., i, j] + grad_u[..., j, i])
+            if (i < d and j < d)
+            else z
+            for j in range(3)
+        ]
+        for i in range(3)
+    ]
+    return jnp.stack(
+        [jnp.stack(r, axis=-1) for r in rows], axis=-2
+    )
 
 
 def def_grad(grad_u: jnp.ndarray) -> jnp.ndarray:
@@ -39,7 +64,16 @@ def def_grad(grad_u: jnp.ndarray) -> jnp.ndarray:
 
 def def_cauchy_green(grad_u: jnp.ndarray) -> jnp.ndarray:
     F = def_grad(grad_u)
-    return jnp.swapaxes(F, -1, -2) @ F
+    rows = [
+        [
+            sum(F[..., k, i] * F[..., k, j] for k in range(3))
+            for j in range(3)
+        ]
+        for i in range(3)
+    ]
+    return jnp.stack(
+        [jnp.stack(r, axis=-1) for r in rows], axis=-2
+    )
 
 
 def strain_green_lagrange(grad_u: jnp.ndarray) -> jnp.ndarray:
@@ -53,9 +87,10 @@ def stress_isotropic(strain: jnp.ndarray, emod, nu) -> jnp.ndarray:
     (reference: ``uflcontinuum.py:9-26``)."""
     lame_lambda = emod * nu / (1 + nu) / (1 - 2 * nu)
     lame_mu = emod / 2 / (1 + nu)
-    tr = jnp.trace(strain, axis1=-2, axis2=-1)
+    d = strain.shape[-1]
+    tr = sum(strain[..., i, i] for i in range(d))
     return 2 * lame_mu * strain + (lame_lambda * tr)[..., None, None] * jnp.eye(
-        strain.shape[-1], dtype=strain.dtype
+        d, dtype=strain.dtype
     )
 
 

@@ -141,14 +141,27 @@ def cell_shape_gradients(X_e: jnp.ndarray):
     shape function.  ``volume`` is the signed measure's absolute value.
     """
     dim = X_e.shape[-1]
-    D = (X_e[1:] - X_e[0]).T  # (dim, dim): columns are edge vectors
+    # D[i, j] = edge vector j, component i — built by unrolled component
+    # stacking (no transpose: batched minor-dim transposes break fusion)
+    D = jnp.stack(
+        [
+            jnp.stack(
+                [X_e[1 + j, i] - X_e[0, i] for j in range(dim)], axis=-1
+            )
+            for i in range(dim)
+        ],
+        axis=-2,
+    )
     detD = det_small(D)
     fact = 2.0 if dim == 2 else 6.0
     vol = jnp.abs(detD) / fact
     Dinv = inv_small(D)  # rows are grad(lambda_i), i=1..dim
-    grads_rest = Dinv  # (dim, dim), row i-1 = grad(lambda_i)
-    grad0 = -jnp.sum(grads_rest, axis=0, keepdims=True)
-    grads = jnp.concatenate([grad0, grads_rest], axis=0)  # (nv, dim)
+    grad0 = jnp.stack(
+        [-sum(Dinv[k, j] for k in range(dim)) for j in range(dim)], axis=-1
+    )
+    grads = jnp.stack(
+        [grad0] + [Dinv[k] for k in range(dim)], axis=0
+    )  # (nv, dim)
     return grads, vol
 
 
@@ -185,5 +198,32 @@ def interp(values_e: jnp.ndarray, bary: jnp.ndarray):
 
     ``values_e``: (nv, ...) nodal values; ``bary``: (nq, nv) barycentric
     coordinates.  Returns (nq, ...).
+
+    Unrolled over the (tiny, static) quadrature/vertex dims rather than a
+    ``tensordot``: under ``vmap`` a batched tiny dot_general becomes an
+    MXU call at ~2% utilization AND a fusion boundary that materializes
+    its padded-layout operands in HBM; the unrolled multiply-adds fuse
+    into one elementwise pass (measured 5-8x on the full element kernel).
     """
-    return jnp.tensordot(bary, values_e, axes=(1, 0))
+    nq, nv = bary.shape
+    rows = [
+        sum(bary[q, k] * values_e[k] for k in range(nv)) for q in range(nq)
+    ]
+    return jnp.stack(rows, axis=0)
+
+
+def smallmat_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """``a @ b`` for (m, k) x (k, n) with tiny static dims, unrolled into
+    elementwise multiply-adds (see :func:`interp` for why)."""
+    m, k = a.shape[-2], a.shape[-1]
+    n = b.shape[-1]
+    rows = [
+        [
+            sum(a[..., i, l] * b[..., l, j] for l in range(k))
+            for j in range(n)
+        ]
+        for i in range(m)
+    ]
+    return jnp.stack(
+        [jnp.stack(r, axis=-1) for r in rows], axis=-2
+    )

@@ -27,6 +27,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
+from .elements import interp
 from .continuum import (
     def_grad,
     pad_to_3x3,
@@ -100,20 +101,50 @@ class FacetGeom(NamedTuple):
     sel: jnp.ndarray  # (nv, dimf) one-hot facet-vertex selector
 
 
+# The tiny per-element contractions below are unrolled into elementwise
+# multiply-adds (see ``elements.interp``): under ``vmap`` a batched tiny
+# dot_general runs the MXU at ~2% utilization and breaks XLA fusion,
+# materializing its padded-layout operands in HBM — the dominant cost of
+# the vmapped element kernel at large mesh sizes.
+
+
 def grad_field(field_e: jnp.ndarray, grads: jnp.ndarray) -> jnp.ndarray:
     """Constant gradient of a P1 field: (nv, c) x (nv, d) -> (c, d)."""
-    return field_e.T @ grads
+    nv, c = field_e.shape
+    d = grads.shape[-1]
+    rows = [
+        [
+            sum(field_e[v, i] * grads[v, j] for v in range(nv))
+            for j in range(d)
+        ]
+        for i in range(c)
+    ]
+    return jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
 
 
 def _stress_residual(sigma3: jnp.ndarray, geom: CellGeom) -> jnp.ndarray:
     """vol * sigma : strain(test) for all (node, component) tests."""
-    dim = geom.X.shape[-1]
-    return geom.vol * geom.grads @ sigma3[:dim, :dim].T
+    nv, dim = geom.grads.shape
+    rows = [
+        [
+            sum(geom.grads[v, j] * sigma3[i, j] for j in range(dim))
+            for i in range(dim)
+        ]
+        for v in range(nv)
+    ]
+    return geom.vol * jnp.stack(
+        [jnp.stack(r, axis=-1) for r in rows], axis=-2
+    )
 
 
 def _force_residual(f_q: jnp.ndarray, geom: CellGeom) -> jnp.ndarray:
     """vol * sum_q w_q f(x_q) . test — f_q: (nq, dim)."""
-    return geom.vol * geom.bary.T @ (geom.qw[:, None] * f_q)
+    nq, nv = geom.bary.shape
+    rows = [
+        sum(geom.bary[q, k] * geom.qw[q] * f_q[q] for q in range(nq))
+        for k in range(nv)
+    ]
+    return geom.vol * jnp.stack(rows, axis=0)
 
 
 def _facet_force_residual(t_q, geom: FacetGeom, nv: int) -> jnp.ndarray:
@@ -124,9 +155,11 @@ def _facet_force_residual(t_q, geom: FacetGeom, nv: int) -> jnp.ndarray:
 
 def _pk2_residual(S: jnp.ndarray, F: jnp.ndarray, geom: CellGeom) -> jnp.ndarray:
     """vol * S : dE(test) with E the Green-Lagrange strain (PK2 weak form)."""
+    from .elements import smallmat_mul
+
     dim = geom.X.shape[-1]
-    FS = F @ S
-    return geom.vol * geom.grads @ FS[:dim, :dim].T
+    FS = smallmat_mul(F, S)
+    return _stress_residual(FS, geom)
 
 
 # -- Cell form classes --------------------------------------------------------
@@ -213,7 +246,7 @@ class InertialForm(BaseForm):
     }
 
     def cell_kernel(self, geom, local):
-        a_q = geom.bary @ local["state/a1"]
+        a_q = interp(local["state/a1"], geom.bary)
         return _force_residual(local["prop/rho"] * a_q, geom)
 
 
@@ -251,7 +284,8 @@ class IsotropicIncompressibleElasticSwellingForm(BaseForm):
         nu = 0.5
         lame_mu = local["prop/emod"] / 2 / (1 + nu)
         v, k = local["prop/v_swelling"], local["prop/k_swelling"]
-        return 2 * lame_mu * eps + k * (jnp.trace(eps) - (v - 1.0)) * I3
+        tr = eps[0, 0] + eps[1, 1] + eps[2, 2]
+        return 2 * lame_mu * eps + k * (tr - (v - 1.0)) * I3
 
     def cell_kernel(self, geom, local):
         return _stress_residual(self.stress(geom, local), geom)
@@ -327,7 +361,7 @@ class RayleighDampingForm(BaseForm):
             eps_rate, local["prop/emod"], local["prop/nu"]
         )
         res = _stress_residual(stress_visco, geom)
-        v_q = geom.bary @ v_e
+        v_q = interp(v_e, geom.bary)
         f = local["prop/rayleigh_m"] * local["prop/rho"] * v_q
         return res + _force_residual(f, geom)
 
@@ -368,8 +402,8 @@ class APForceForm(BaseForm):
     }
 
     def cell_kernel(self, geom, local):
-        u_q = geom.bary @ local["state/u1"]
-        v_q = geom.bary @ local["state/v1"]
+        u_q = interp(local["state/u1"], geom.bary)
+        v_q = interp(local["state/v1"], geom.bary)
         emod, nu = local["prop/emod"], local["prop/nu"]
         lame_mu = emod / 2 / (1 + nu)
         u_ant, u_pos = local["prop/u_ant"], local["prop/u_pos"]

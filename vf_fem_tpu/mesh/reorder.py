@@ -49,26 +49,39 @@ def _entity_index(entities: np.ndarray) -> dict:
     }
 
 
-def rcm_mesh(mesh: Mesh) -> Mesh:
+def rcm_mesh(mesh: Mesh, sort_cells: bool = True) -> Mesh:
     """Return a new :class:`Mesh` with RCM-renumbered vertices.
 
     All markers and subdomain names transfer: vertex markers permute,
-    cell markers keep their (unchanged) cell order, facet/edge markers are
-    re-matched by vertex tuple.
+    cell markers follow their cells, facet/edge markers are re-matched by
+    vertex tuple.
+
+    With ``sort_cells`` (default), cells are additionally sorted by their
+    minimum renumbered vertex id, so that consecutive cells touch a
+    contiguous vertex window — the precondition of the banded
+    gather-free assembly (``fem.banded``) on top of the block-banded
+    Jacobian (``solvers.bsb``).  This permutes the (user-visible) cell
+    ids, which is why renumbering is opt-in at load time.
     """
     perm = rcm_permutation(mesh)
     inv = np.argsort(perm)
 
     coords2 = np.asarray(mesh.coords)[perm]
     cells2 = inv[np.asarray(mesh.cells)].astype(INT)
+    cell_perm = (
+        np.argsort(cells2.min(axis=1), kind="stable")
+        if sort_cells
+        else np.arange(cells2.shape[0])
+    )
+    cells2 = cells2[cell_perm]
     m2 = Mesh(coords2, cells2)
 
     dim = mesh.dim
     # vertex markers
     m2.mesh_functions[0][:] = mesh.mesh_functions[0][perm]
     m2.subdomains[0] = dict(mesh.subdomains[0])
-    # cell markers: cell order unchanged
-    m2.mesh_functions[dim][:] = mesh.mesh_functions[dim]
+    # cell markers follow the sorted cell order
+    m2.mesh_functions[dim][:] = mesh.mesh_functions[dim][cell_perm]
     m2.subdomains[dim] = dict(mesh.subdomains[dim])
     # facet (and 3D edge) markers: match by renumbered vertex tuple
     for d in mesh.entities:

@@ -41,6 +41,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import blocks as bv
+from .. import config
 from ..equations import newmark
 from ..fem import assembly
 from ..residuals.base import FemResidual, JaxResidual
@@ -291,7 +292,12 @@ class SolidModel(BaseTransientModel):
         self._full_fields = full_fields
 
         # ---- Newton residual on the 'u' block (v1, a1 substituted) ----
-        def res_u(u1_flat, state0, control, prop, dt):
+        # BC rows by mask arithmetic rather than .at[].set: the (static)
+        # scatter into a handful of rows serializes on TPU
+        bc_mask_np = np.zeros(ndof)
+        bc_mask_np[np.asarray(bc_dofs)] = 1.0
+
+        def res_u(u1_flat, state0, control, prop, dt, banded=False):
             u1 = u1_flat.reshape(nvert, dim)
             u0 = state0["u"].reshape(nvert, dim)
             v0 = state0["v"].reshape(nvert, dim)
@@ -300,11 +306,54 @@ class SolidModel(BaseTransientModel):
             a1 = newmark.newmark_a(u1, u0, v0, a0, dt)
             prop_fields = self._prop_fields(prop)
             fields = full_fields(u1, v1, a1, control, prop_fields)
-            res = R.assemble_res(fields).reshape(-1)
-            res = res.at[bc_dofs].set(u1_flat[bc_dofs] - 0.0)
-            return res
+            res = R.assemble_res(fields, banded=banded).reshape(-1)
+            bc_mask = jnp.asarray(bc_mask_np, dtype=res.dtype)
+            return res * (1.0 - bc_mask) + u1_flat * bc_mask
 
         self.res_u = res_u
+
+        # Banded (gather-free) variant for the Newton/adjoint hot paths.
+        # The banded ops are custom_vjp (reverse-mode only), so the
+        # forward-mode IFT rule (solve_u1_jvp) keeps the plain path.
+        self._banded_ok = None
+
+        def use_banded() -> bool:
+            """Static (trace-time) decision: config + backend + mesh."""
+            if self._banded_ok is None:
+                mode = config.BANDED_ASSEMBLY
+                if mode in ("0", "false", "off"):
+                    self._banded_ok = False
+                elif jax.default_backend() != "tpu" and mode not in (
+                    "1", "true", "on",
+                ):
+                    self._banded_ok = False
+                else:
+                    try:
+                        R.banded_plan()
+                        self._banded_ok = True
+                    except AssertionError:
+                        self._banded_ok = False
+            return self._banded_ok
+
+        def _use_banded(params_d) -> bool:
+            """Per-solve decision via the 'assembly' parameter:
+            'banded' forces the Pallas path (asserts if the mesh is not
+            bandwidth-ordered), 'plain' forces the indexed path, 'auto'
+            (default) enables banded on a TPU-default backend when the
+            mesh supports it.  Explicit values matter when execution is
+            pinned to a non-default device (e.g. a CPU baseline leg in a
+            TPU process)."""
+            mode = params_d.get("assembly", "auto")
+            if mode == "banded":
+                R.banded_plan()
+                return True
+            if mode == "plain":
+                return False
+            return use_banded()
+
+        def res_u_fast(u1_flat, state0, control, prop, dt, params_d):
+            return res_u(u1_flat, state0, control, prop, dt,
+                         banded=_use_banded(params_d))
 
         # ---- Element-level Newton Jacobian (dense assembly) ----
         def _elem_state0(state0):
@@ -471,7 +520,7 @@ class SolidModel(BaseTransientModel):
             params_d = dict(params)
 
             def assem(u1):
-                return res_u(u1, state0, control, prop, dt)
+                return res_u_fast(u1, state0, control, prop, dt, params_d)
 
             if params_d.get("linear_solver", "dense") in _ITERATIVE_SOLVERS:
                 # Matrix-free Newton-Krylov: preconditioned Krylov on the
@@ -548,7 +597,8 @@ class SolidModel(BaseTransientModel):
                 lam = linalg.dense_solve_transpose(A, u1_bar)
 
             def res_wrt_theta(state0_, control_, prop_, dt_):
-                return res_u(u1, state0_, control_, prop_, dt_)
+                return res_u_fast(u1, state0_, control_, prop_, dt_,
+                                  params_d)
 
             _, vjp = jax.vjp(res_wrt_theta, state0, control, prop, dt)
             g_state0, g_control, g_prop, g_dt = vjp(-lam)
@@ -681,7 +731,7 @@ class SolidModel(BaseTransientModel):
             params_d = dict(params)
 
             def assem(u1):
-                return res_u(u1, state0, control, prop, dt)
+                return res_u_fast(u1, state0, control, prop, dt, params_d)
 
             if params_d.get("linear_solver", "dense") in _ITERATIVE_SOLVERS:
 
@@ -718,7 +768,7 @@ class SolidModel(BaseTransientModel):
                 A = jac_u_dense(u1, state0, control, prop, dt)
                 lam = linalg.dense_solve_transpose(A, u1_bar)
             _, vjp = jax.vjp(
-                lambda s0, c, p, t: res_u(u1, s0, c, p, t),
+                lambda s0, c, p, t: res_u_fast(u1, s0, c, p, t, params_d),
                 state0, control, prop, dt,
             )
             g_state0, g_control, g_prop, g_dt = vjp(-lam)

@@ -228,10 +228,89 @@ class FemResidual:
     def n_facets(self) -> int:
         return int(self.topology.facet_cells.shape[0])
 
-    def assemble_res(self, fields: dict) -> jnp.ndarray:
+    def banded_plan(self):
+        """Lazy banded-assembly plan (requires a bandwidth-ordered mesh —
+        ``mesh.reorder.rcm_mesh``; raises AssertionError otherwise)."""
+        if getattr(self, "_banded_plan", None) is None:
+            from ..fem import banded
+
+            self._banded_plan = banded.plan_banded(
+                np.asarray(self.topology.cells), self._mesh.num_vertices
+            )
+        return self._banded_plan
+
+    def _cell_res_banded(self, fields: dict, X) -> jnp.ndarray:
+        """Cell-pass residual via the gather-free banded kernels
+        (``fem.banded``): one stacked MXU gather of all cg1 channels (and
+        the traced coordinates), the element kernel vmapped with the cell
+        axis LAST (SoA — per-element scalars are full lane vectors), one
+        MXU scatter.  Numerically equal to the gather/segment_sum path
+        (one-hot matmuls are exact copies)."""
+        from ..fem import banded as banded_mod
+
+        plan = self.banded_plan()
+        mesh = self._mesh
+        nvert, dim = mesh.num_vertices, mesh.dim
+        ncpad = plan.ngroups * plan.gc
+
+        comps, layout = [], []
+        for key, spec in self.coefficient_spec.items():
+            if spec.space == "cg1_vector":
+                arr2 = jnp.asarray(fields[key]).reshape(nvert, dim)
+                comps.extend(arr2[:, c] for c in range(dim))
+                layout.append((key, dim))
+            elif spec.space == "cg1_scalar":
+                comps.append(jnp.asarray(fields[key]).reshape(nvert))
+                layout.append((key, 1))
+        # traced coordinates ride the same gather (shape derivatives work
+        # unchanged; constant-folded by XLA when umesh is absent)
+        comps.extend(X[:, c] for c in range(dim))
+        layout.append(("__X__", dim))
+        F = jnp.stack(comps, axis=0)  # (C, nvert) channels-major
+        loc_all = banded_mod.banded_gather(plan, F)  # (nv, C, ncpad)
+
+        local, axes = {}, {}
+        c0 = 0
+        Xe = None
+        for key, ncols in layout:
+            v = loc_all[:, c0 : c0 + ncols, :]  # (nv, ncols, ncpad)
+            c0 += ncols
+            if key == "__X__":
+                Xe = v
+            else:
+                local[key] = v if ncols > 1 else v[:, 0, :]
+                axes[key] = -1
+        for key, spec in self.coefficient_spec.items():
+            if spec.space == "dg0_scalar":
+                arr = jnp.asarray(fields[key])
+                local[key] = jnp.pad(
+                    arr, (0, ncpad - arr.shape[0]), mode="edge"
+                )
+                axes[key] = -1
+            elif spec.space == "const_scalar":
+                local[key] = jnp.asarray(fields[key])[0]
+                axes[key] = None
+            elif spec.space == "const_vector":
+                local[key] = jnp.asarray(fields[key])
+                axes[key] = None
+
+        cell_elem = self.cell_elem_fn()
+        res_c = jax.vmap(cell_elem, in_axes=(-1, axes), out_axes=-1)(
+            Xe, local
+        )  # (nv, dim, ncpad)
+        res_cm = banded_mod.banded_scatter(plan, res_c, nvert)
+        return jnp.moveaxis(res_cm, 0, 1)  # (nvert, dim)
+
+    def assemble_res(self, fields: dict, banded: bool = False) -> jnp.ndarray:
         """
         Assemble the (nvert, dim) residual of the 'u' form given *all*
         coefficient fields explicitly (u1/v1/a1 independent).  No BCs.
+
+        ``banded`` routes the cell pass through the gather-free Pallas
+        kernels (``fem.banded``; requires a bandwidth-ordered mesh).  Note
+        the banded ops carry ``custom_vjp`` rules — reverse-mode exact,
+        but not ``jax.jvp``-able; forward-mode callers use the default
+        path.
         """
         topo = self.topology
         mesh = self._mesh
@@ -239,11 +318,14 @@ class FemResidual:
         if "prop/umesh" in fields:
             X = X + fields["prop/umesh"]
 
-        cell_elem = self.cell_elem_fn()
-        local, axes = self.gather_cell_locals(fields)
-        Xe = X[topo.cells]
-        res_c = jax.vmap(cell_elem, in_axes=(0, axes))(Xe, local)
-        res = assembly.scatter_add(res_c, topo.cells, mesh.num_vertices)
+        if banded:
+            res = self._cell_res_banded(fields, X)
+        else:
+            cell_elem = self.cell_elem_fn()
+            local, axes = self.gather_cell_locals(fields)
+            Xe = X[topo.cells]
+            res_c = jax.vmap(cell_elem, in_axes=(0, axes))(Xe, local)
+            res = assembly.scatter_add(res_c, topo.cells, mesh.num_vertices)
 
         if self._facet_forms and self.n_facets() > 0:
             facet_elem = self.facet_elem_fn()
