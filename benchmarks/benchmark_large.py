@@ -133,6 +133,18 @@ def main():
     print(f"btd-vs-bsb trajectory max|du| = {du:.3e};"
           f" speedup {tps_btd / tps_cg:.2f}x")
 
+    # bf16-stored factors + longer refresh: halves the (bandwidth-bound)
+    # solve streaming and the (latency-bound) refactor amortization
+    btd16_tol = dict(
+        btd_tol, btd_store_dtype="bfloat16", jacobian_refresh_steps=32
+    )
+    tps_b16, fin_b16 = run(
+        model, btd16_tol, args.steps, "btd bf16 factors (refresh 32)"
+    )
+    du = np.abs(np.asarray(fin_b16["u"]) - np.asarray(fin_btd["u"])).max()
+    print(f"bf16-vs-f32 trajectory max|du| = {du:.3e};"
+          f" speedup {tps_b16 / tps_btd:.2f}x")
+
     if ndof <= args.dense_limit:
         dense_tol = {"jacobian_refresh_steps": 8, "stagnation_ratio": 0.5}
         tps_d, fin_d = run(model, dense_tol, args.steps, "dense LU (stale)")

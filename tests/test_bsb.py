@@ -210,8 +210,20 @@ def test_btd_direct_solve_and_trajectory():
     rng = np.random.default_rng(0)
     r = jnp.asarray(rng.standard_normal(solid.ndof))
     x = np.asarray(btd.btd_solve(plan, fac, r))
-    xr = np.linalg.solve(np.asarray(op.to_dense()), np.asarray(r))
+    A = np.asarray(op.to_dense())
+    xr = np.linalg.solve(A, np.asarray(r))
     np.testing.assert_allclose(x, xr, rtol=1e-9, atol=1e-11)
+
+    # bf16-stored factors: ~1e-2 solve accuracy, and iterative refinement
+    # (the chord-Newton use pattern) contracts the error
+    fac16 = btd.btd_factor(plan, blocks, store_dtype="bfloat16")
+    x16 = np.asarray(btd.btd_solve(plan, fac16, r))
+    rel0 = np.linalg.norm(x16 - xr) / np.linalg.norm(xr)
+    assert rel0 < 5e-2
+    resid = np.asarray(r) - A @ x16
+    x16b = x16 + np.asarray(btd.btd_solve(plan, fac16, jnp.asarray(resid)))
+    rel1 = np.linalg.norm(x16b - xr) / np.linalg.norm(xr)
+    assert rel1 < 0.3 * rel0
 
     # trajectory through the stale integrator
     state0 = {k: np.zeros_like(np.asarray(v))

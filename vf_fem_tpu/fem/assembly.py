@@ -116,9 +116,12 @@ def make_cell_geom(X_e: jnp.ndarray, topo: Topology) -> CellGeom:
 def make_facet_geom(
     X_e: jnp.ndarray, sel: jnp.ndarray, opp_sel: jnp.ndarray, topo: Topology
 ) -> FacetGeom:
+    from .forms import facet_restrict
+
     grads, _ = elements.cell_shape_gradients(X_e)
-    Xf = sel.T @ X_e  # (dimf, dim) facet vertex coordinates
-    X_opp = opp_sel @ X_e  # (dim,) opposite vertex
+    Xf = facet_restrict(X_e, sel)  # (dimf, dim) facet vertex coordinates
+    nv = X_e.shape[0]
+    X_opp = sum(opp_sel[v] * X_e[v] for v in range(nv))  # (dim,)
     meas, normal = elements.facet_measure_normal(Xf, X_opp)
     return FacetGeom(
         X=X_e,

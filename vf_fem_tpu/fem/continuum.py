@@ -104,8 +104,14 @@ def pullback_area_normal(grad_u: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     """
     dim = n.shape[-1]
     F = grad_u + jnp.eye(dim, dtype=grad_u.dtype)
-    cof = det_small(F)[..., None, None] * jnp.swapaxes(inv_small(F), -1, -2)
-    return cof @ n
+    detF = det_small(F)
+    Finv = inv_small(F)
+    # cof(F) @ n = det(F) * F^-T @ n, unrolled (no batched tiny matmuls)
+    rows = [
+        detF * sum(Finv[..., j, i] * n[..., j] for j in range(dim))
+        for i in range(dim)
+    ]
+    return jnp.stack(rows, axis=-1)
 
 
 def positive_gap(gap: jnp.ndarray) -> jnp.ndarray:

@@ -147,10 +147,40 @@ def _force_residual(f_q: jnp.ndarray, geom: CellGeom) -> jnp.ndarray:
     return geom.vol * jnp.stack(rows, axis=0)
 
 
+def facet_restrict(cell_nodal: jnp.ndarray, sel: jnp.ndarray):
+    """``sel.T @ cell_nodal``: restrict cell nodal values (nv, ...) to the
+    facet's (dimf, ...) — unrolled one-hot contraction."""
+    nv, dimf = sel.shape
+    return jnp.stack(
+        [sum(sel[v, d] * cell_nodal[v] for v in range(nv))
+         for d in range(dimf)],
+        axis=0,
+    )
+
+
+def facet_interp(values_f: jnp.ndarray, fbary: jnp.ndarray):
+    """``fbary @ values_f``: facet quadrature interpolation, unrolled."""
+    nq, dimf = fbary.shape
+    return jnp.stack(
+        [sum(fbary[q, d] * values_f[d] for d in range(dimf))
+         for q in range(nq)],
+        axis=0,
+    )
+
+
 def _facet_force_residual(t_q, geom: FacetGeom, nv: int) -> jnp.ndarray:
     """Scatter a facet traction integral to cell-local node contributions."""
-    res_f = geom.meas * geom.fbary.T @ (geom.fqw[:, None] * t_q)  # (dimf, dim)
-    return geom.sel @ res_f
+    nq, dimf = geom.fbary.shape
+    res_f = [
+        geom.meas
+        * sum(geom.fbary[q, d] * geom.fqw[q] * t_q[q] for q in range(nq))
+        for d in range(dimf)
+    ]  # dimf x (dim,)
+    rows = [
+        sum(geom.sel[v, d] * res_f[d] for d in range(dimf))
+        for v in range(nv)
+    ]
+    return jnp.stack(rows, axis=0)
 
 
 def _pk2_residual(S: jnp.ndarray, F: jnp.ndarray, geom: CellGeom) -> jnp.ndarray:
@@ -446,8 +476,8 @@ class SurfacePressureForm(BaseForm):
         nv = u_e.shape[0]
         grad_u = grad_field(u_e, geom.grads)
         pn = pullback_area_normal(grad_u, geom.normal)  # (dim,)
-        p_f = geom.sel.T @ local["control/p1"]  # (dimf,)
-        p_q = geom.fbary @ p_f  # (nq,)
+        p_f = facet_restrict(local["control/p1"], geom.sel)  # (dimf,)
+        p_q = facet_interp(p_f, geom.fbary)  # (nq,)
         t_q = -p_q[:, None] * pn[None, :]
         return _facet_force_residual(t_q, geom, nv)
 
@@ -472,7 +502,7 @@ class ManualSurfaceContactTractionForm(BaseForm):
     def facet_kernel(self, geom: FacetGeom, local):
         tc_e = local["control/tcontact"]
         nv = tc_e.shape[0]
-        t_q = geom.fbary @ (geom.sel.T @ tc_e)
+        t_q = facet_interp(facet_restrict(tc_e, geom.sel), geom.fbary)
         return _facet_force_residual(t_q, geom, nv)
 
 
@@ -491,9 +521,11 @@ class IsotropicMembraneForm(BaseForm):
     def _planar_stress(self, geom, local, nu):
         dim = geom.X.shape[-1]
         eps = strain_inf(grad_field(local["state/u1"], geom.grads))
-        n3 = jnp.zeros(3).at[:dim].set(geom.normal)
-        P = I3 - jnp.outer(n3, n3)
-        eps_pp = P @ eps @ P
+        from .elements import smallmat_mul
+
+        n3 = jnp.concatenate([geom.normal, jnp.zeros(3 - dim)])
+        P = I3 - n3[:, None] * n3[None, :]
+        eps_pp = smallmat_mul(smallmat_mul(P, eps), P)
         emod = local["prop/emod_membrane"]
         mu = emod / 2 / (1 + nu)
         lmbda = emod * nu / (1 + nu) / (1 - 2 * nu)
@@ -503,14 +535,25 @@ class IsotropicMembraneForm(BaseForm):
         # fused fast-math, leaking NaN*0; hence the guarded denominator.
         denom = jnp.where(emod == 0, 1.0, lmbda + 2 * mu)
         lmbda_pp = jnp.where(emod == 0, 0.0, 2 * mu * lmbda / denom)
-        return 2 * mu * eps_pp + lmbda_pp * jnp.trace(eps_pp) * P
+        tr_pp = eps_pp[0, 0] + eps_pp[1, 1] + eps_pp[2, 2]
+        return 2 * mu * eps_pp + lmbda_pp * tr_pp * P
 
     def facet_kernel(self, geom: FacetGeom, local):
         dim = geom.X.shape[-1]
         stress_pp = self._planar_stress(geom, local, local["prop/nu_membrane"])
         th = local["prop/th_membrane"]
         # integrand is constant over the facet; tests are all cell nodes
-        return geom.meas * th * geom.grads @ stress_pp[:dim, :dim].T
+        nv = geom.grads.shape[0]
+        rows = [
+            [
+                sum(geom.grads[v, j] * stress_pp[i, j] for j in range(dim))
+                for i in range(dim)
+            ]
+            for v in range(nv)
+        ]
+        return geom.meas * th * jnp.stack(
+            [jnp.stack(r, axis=-1) for r in rows], axis=-2
+        )
 
 
 class IsotropicIncompressibleMembraneForm(BaseForm):
@@ -526,11 +569,24 @@ class IsotropicIncompressibleMembraneForm(BaseForm):
     def facet_kernel(self, geom: FacetGeom, local):
         dim = geom.X.shape[-1]
         eps = strain_inf(grad_field(local["state/u1"], geom.grads))
-        n3 = jnp.zeros(3).at[:dim].set(geom.normal)
-        P = I3 - jnp.outer(n3, n3)
-        eps_pp = P @ eps @ P
+        from .elements import smallmat_mul
+
+        n3 = jnp.concatenate([geom.normal, jnp.zeros(3 - dim)])
+        P = I3 - n3[:, None] * n3[None, :]
+        eps_pp = smallmat_mul(smallmat_mul(P, eps), P)
         nu = 0.5
         lame_mu = local["prop/emod_membrane"] / 2 / (1 + nu)
-        stress_pp = 2 * lame_mu * eps_pp + 2 * lame_mu * jnp.trace(eps_pp) * P
+        tr_pp = eps_pp[0, 0] + eps_pp[1, 1] + eps_pp[2, 2]
+        stress_pp = 2 * lame_mu * eps_pp + 2 * lame_mu * tr_pp * P
         th = local["prop/th_membrane"]
-        return geom.meas * th * geom.grads @ stress_pp[:dim, :dim].T
+        nv = geom.grads.shape[0]
+        rows = [
+            [
+                sum(geom.grads[v, j] * stress_pp[i, j] for j in range(dim))
+                for i in range(dim)
+            ]
+            for v in range(nv)
+        ]
+        return geom.meas * th * jnp.stack(
+            [jnp.stack(r, axis=-1) for r in rows], axis=-2
+        )

@@ -494,7 +494,10 @@ class SolidModel(BaseTransientModel):
                 blocks = bsb_mod.bsb_fill(
                     get_bsb_plan(), [op.J_cells, op.J_facets]
                 )
-                return btd_mod.btd_factor(get_bsb_plan(), blocks)
+                return btd_mod.btd_factor(
+                    get_bsb_plan(), blocks,
+                    store_dtype=params_d.get("btd_store_dtype"),
+                )
             Dinv = op.block_diag_inverse(dim)
             if ls == "bsb":
                 from ..solvers import bsb as bsb_mod

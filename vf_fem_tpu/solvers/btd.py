@@ -92,8 +92,19 @@ def _scale_blocks(plan: BSBPlan, blocks: jnp.ndarray, d: jnp.ndarray):
     return blocks / dr[:, None, :, None] / dc[:, :, None, :]
 
 
-def btd_factor(plan: BSBPlan, blocks: jnp.ndarray) -> BTDFactors:
-    """Equilibrate + block-Thomas factor the banded Jacobian."""
+def btd_factor(
+    plan: BSBPlan, blocks: jnp.ndarray, store_dtype=None
+) -> BTDFactors:
+    """Equilibrate + block-Thomas factor the banded Jacobian.
+
+    ``store_dtype='bfloat16'`` stores the factors half-width: the solve is
+    bandwidth-bound streaming Sinv/L/U (measured ~75% of the HBM floor),
+    so bf16 storage nearly halves per-solve time.  The ~1e-2 relative
+    factor error is within what the chord (frozen-Jacobian) Newton
+    already tolerates from stale factors — convergence remains
+    residual-certified (see ``solvers.newton``).  Matvecs accumulate in
+    f32 (``preferred_element_type``).
+    """
     d = _equilibration(plan, blocks)
     blocks_s = _scale_blocks(plan, blocks, d)
     # the trailing pad rows of the last block (beyond ndof) are all-zero;
@@ -117,7 +128,25 @@ def btd_factor(plan: BSBPlan, blocks: jnp.ndarray) -> BTDFactors:
         return Sinv, Sinv
 
     _, Sinv = jax.lax.scan(body, jnp.zeros_like(eye), (D, L, U_prev))
+    if store_dtype is not None:
+        Sinv = Sinv.astype(store_dtype)
+        L = L.astype(store_dtype)
+        U = U.astype(store_dtype)
     return BTDFactors(Sinv=Sinv, L=L, U=U, d=d)
+
+
+def _mv(A, x):
+    """A @ x preserving the vector dtype; bf16-stored factors stream at
+    half bandwidth and accumulate in f32 before casting back."""
+    if A.dtype == jnp.bfloat16:
+        out = jax.lax.dot_general(
+            A,
+            x.astype(A.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return out.astype(x.dtype)
+    return A @ x
 
 
 def btd_solve(plan: BSBPlan, factors: BTDFactors, r: jnp.ndarray):
@@ -129,14 +158,14 @@ def btd_solve(plan: BSBPlan, factors: BTDFactors, r: jnp.ndarray):
 
     def fwd(y_prev, xs):
         Sinv_i, L_i, r_i = xs
-        y = Sinv_i @ (r_i - L_i @ y_prev)
+        y = _mv(Sinv_i, r_i - _mv(L_i, y_prev))
         return y, y
 
     _, y = jax.lax.scan(fwd, jnp.zeros(Bt, rb.dtype), (Sinv, L, rb))
 
     def bwd(x_next, xs):
         Sinv_i, U_i, y_i = xs
-        x = y_i - Sinv_i @ (U_i @ x_next)
+        x = y_i - _mv(Sinv_i, _mv(U_i, x_next))
         return x, x
 
     _, x = jax.lax.scan(
