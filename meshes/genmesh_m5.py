@@ -23,12 +23,27 @@ def main():
     parser.add_argument("--outdir", default=os.path.dirname(__file__) or ".")
     parser.add_argument("--only", default=None,
                         help="single profile name (default: all)")
+    parser.add_argument("--smooth-iters", type=int, default=None,
+                        help="Laplacian smoothing passes (mesher default)")
+    parser.add_argument("--rcm", action="store_true",
+                        help="RCM-renumber (required by bsb/btd solvers)")
+    parser.add_argument("--suffix", default="",
+                        help="output filename suffix, e.g. _rcm_h006")
     args = parser.parse_args()
 
     names = [args.only] if args.only else m5_profile_names()
     for name in names:
-        mesh = m5_mesh(name, h=args.h)
-        path = write_gmsh(mesh, os.path.join(args.outdir, f"{name}.msh"))
+        kw = {}
+        if args.smooth_iters is not None:
+            kw["smooth_iters"] = args.smooth_iters
+        mesh = m5_mesh(name, h=args.h, **kw)
+        if args.rcm:
+            from vf_fem_tpu.mesh.reorder import rcm_mesh
+
+            mesh = rcm_mesh(mesh)
+        path = write_gmsh(
+            mesh, os.path.join(args.outdir, f"{name}{args.suffix}.msh")
+        )
         print(
             f"wrote {path}: {mesh.num_vertices} vertices,"
             f" {mesh.num_cells} cells,"
