@@ -21,7 +21,10 @@ from benchmarkutils import maybe_profile  # noqa: F401  (repo path setup)
 from setup import setup_transient_args
 
 
-def build_model(h):
+def build_model(h, nz=0, zlen=1.5):
+    """2D M5-3layers FSI model at element size ``h``; ``nz >= 2`` extrudes
+    to a 3D tet mesh with ``nz`` z-planes (one 1D fluid channel per plane,
+    the reference's extruded-3D workflow, reference ``load.py:264-275``)."""
     from vf_fem_tpu.load import load_fsi_model
     from vf_fem_tpu.mesh import m5_mesh
     from vf_fem_tpu.mesh.writers import write_gmsh
@@ -30,15 +33,20 @@ def build_model(h):
 
     from vf_fem_tpu.mesh.reorder import rcm_mesh
 
-    cache = os.path.join(
-        os.path.dirname(__file__), f".m5_3layers_h{h:g}_rcm.msh"
-    )
+    tag = f"h{h:g}" + (f"_nz{nz}" if nz else "") + "_rcm"
+    cache = os.path.join(os.path.dirname(__file__), f".m5_3layers_{tag}.msh")
+    zs = np.linspace(0.0, zlen, nz) if nz else None
     if os.path.exists(cache):
         mesh = load_gmsh(cache)
     else:
         t0 = time.perf_counter()
-        mesh = rcm_mesh(m5_mesh("M5_3layers", h=h, smooth_iters=10))
-        print(f"meshed h={h}: {mesh.num_vertices} verts"
+        mesh = m5_mesh("M5_3layers", h=h, smooth_iters=10)
+        if nz:
+            from vf_fem_tpu.mesh.extrude import extrude_mesh
+
+            mesh = extrude_mesh(mesh, zs)
+        mesh = rcm_mesh(mesh)
+        print(f"meshed {tag}: {mesh.num_vertices} verts"
               f" ({time.perf_counter()-t0:.0f}s)")
         write_gmsh(mesh, cache)
     return load_fsi_model(
@@ -46,6 +54,7 @@ def build_model(h):
         slr.KelvinVoigtWEpithelium,
         flr.BernoulliAreaRatioSep,
         coupling="explicit",
+        zs=zs,
     )
 
 
@@ -96,11 +105,13 @@ def main():
     parser.add_argument("--h", type=float, default=0.006)
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--dense-limit", type=int, default=20000)
+    parser.add_argument("--extrude", type=int, default=0, metavar="NZ",
+                        help="extrude to 3D tets with NZ z-planes")
     args = parser.parse_args()
 
     import jax
 
-    model = build_model(args.h)
+    model = build_model(args.h, nz=args.extrude)
     ndof = model.solid.ndof
     print(f"device {jax.devices()[0].platform}, solid ndof = {ndof}")
 
