@@ -159,8 +159,18 @@ def main():
         # steps/s measured, trajectory within f32 noise of the adaptive
         # run (and cross-checked against the CPU f64 leg below)
         "fixed_iterations": 2,
+        # gather-free banded assembly (fem/banded.py): fastest measured
+        # config on the committed (bandwidth-ordered) M5 mesh —
+        # 2331 vs 1790 steps/s for the indexed path
+        # (benchmarks/probe_headline.py); NOTE the remote-TPU round-trip
+        # shows large run-to-run variance (same binary 557-2331 steps/s
+        # across sessions), so cross-session deltas < ~2x are noise.
+        "assembly": "banded",
     }
-    tol_cpu = {"stagnation_ratio": 0.5}
+    # 'assembly': 'plain' is required on the CPU leg: it executes on the
+    # non-default device of a TPU-default process, where 'auto' would pick
+    # the TPU Pallas banded path and fail to lower for CPU.
+    tol_cpu = {"stagnation_ratio": 0.5, "assembly": "plain"}
     if not on_accel:
         tol_dev = tol_cpu
 
