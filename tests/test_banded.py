@@ -173,3 +173,23 @@ def test_assemble_res_banded_vjp_matches(mesh):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-12
         )
+
+
+def test_xla_fallback_matches_kernels(mesh, plan):
+    """The indexed/segment-sum fallbacks (used when a TPU-default process
+    lowers the same program for another platform, e.g. a CPU baseline
+    leg) reproduce the kernel semantics."""
+    rng = np.random.default_rng(7)
+    nvert = mesh.num_vertices
+    F = jnp.asarray(rng.standard_normal((4, nvert)))
+    Fp = jnp.pad(F, ((0, 0), (0, plan.nvert_pad - nvert)))
+    g_kernel = np.asarray(banded._pallas_gather(plan, Fp))
+    g_xla = np.asarray(banded._xla_gather(plan, Fp))
+    np.testing.assert_array_equal(g_kernel, g_xla)
+
+    loc = jnp.asarray(
+        rng.standard_normal((plan.nv, 4, plan.ngroups * plan.gc))
+    )
+    s_kernel = np.asarray(banded._pallas_scatter(plan, loc))
+    s_xla = np.asarray(banded._xla_scatter(plan, loc))
+    np.testing.assert_allclose(s_kernel, s_xla, rtol=0, atol=1e-12)

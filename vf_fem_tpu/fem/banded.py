@@ -178,6 +178,35 @@ def _scatter_kernel(base_ref, delta_ref, loc_ref, out_ref, *, w, nv, gc):
     out_ref[:, pl.ds(base, w)] = cur + acc
 
 
+def _xla_gather(plan: BandedPlan, F: jnp.ndarray) -> jnp.ndarray:
+    """Indexed-gather reference implementation (same layout contract as
+    the Pallas kernel).  Used for non-TPU lowerings of a TPU-default
+    process (e.g. a CPU baseline leg pinned off the default device)."""
+    idx = jnp.asarray(plan.base)[:, None, None] + jnp.asarray(plan.delta_g)
+    out = F[:, idx]  # (C, ngroups, nv, gc)
+    return jnp.transpose(out, (2, 0, 1, 3)).reshape(
+        plan.nv, F.shape[0], plan.ngroups * plan.gc
+    )
+
+
+def _xla_scatter(plan: BandedPlan, loc: jnp.ndarray) -> jnp.ndarray:
+    """Segment-sum reference implementation of the banded scatter.
+    Exact up to summation order (collision sums may associate
+    differently than the kernel's fixed per-group order)."""
+    nv, C, gc, ng = plan.nv, loc.shape[1], plan.gc, plan.ngroups
+    base = jnp.asarray(plan.base)[:, None, None]
+    delta = jnp.asarray(plan.delta_s)
+    # padding slots (delta == w) go to an overflow bin that is dropped
+    idx = jnp.where(delta == plan.w, plan.nvert_pad, base + delta)
+    flat_idx = jnp.transpose(idx, (1, 0, 2)).reshape(-1)  # (nv*ng*gc,)
+    li = jnp.moveaxis(loc.reshape(nv, C, ng, gc), 1, -1)  # (nv, ng, gc, C)
+    flat_val = li.reshape(-1, C)
+    out = jax.ops.segment_sum(
+        flat_val, flat_idx, num_segments=plan.nvert_pad + 1
+    )
+    return out[: plan.nvert_pad].T
+
+
 def _pallas_gather(plan: BandedPlan, F: jnp.ndarray) -> jnp.ndarray:
     """F: (C, nvert_pad) -> (nv, C, ngroups*gc)."""
     from jax.experimental.pallas import tpu as pltpu
@@ -228,6 +257,30 @@ def _pallas_scatter(plan: BandedPlan, loc: jnp.ndarray) -> jnp.ndarray:
     )(jnp.asarray(plan.base), jnp.asarray(plan.delta_s), loc)
 
 
+def _gather_impl(plan: BandedPlan, F: jnp.ndarray) -> jnp.ndarray:
+    if _interpret():
+        # cpu-default process (tests): interpret-mode kernel everywhere
+        return _pallas_gather(plan, F)
+    # tpu-default process: native kernel for TPU lowerings; indexed
+    # fallback when the same program is lowered for another platform
+    # (e.g. a CPU baseline leg in a TPU process)
+    return jax.lax.platform_dependent(
+        F,
+        tpu=partial(_pallas_gather, plan),
+        default=partial(_xla_gather, plan),
+    )
+
+
+def _scatter_impl(plan: BandedPlan, loc: jnp.ndarray) -> jnp.ndarray:
+    if _interpret():
+        return _pallas_scatter(plan, loc)
+    return jax.lax.platform_dependent(
+        loc,
+        tpu=partial(_pallas_scatter, plan),
+        default=partial(_xla_scatter, plan),
+    )
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def banded_gather(plan: BandedPlan, F: jnp.ndarray) -> jnp.ndarray:
     """Gather per-cell locals from stacked vertex fields.
@@ -243,7 +296,7 @@ def banded_gather(plan: BandedPlan, F: jnp.ndarray) -> jnp.ndarray:
     indexed gather.
     """
     F = jnp.pad(F, ((0, 0), (0, plan.nvert_pad - F.shape[1])))
-    return _pallas_gather(plan, F)
+    return _gather_impl(plan, F)
 
 
 def _banded_gather_fwd(plan, F):
@@ -254,7 +307,7 @@ def _banded_gather_bwd(plan, saved, ct):
     (nvert,) = saved
     # transpose of the *gather* pattern: padded slots read real cells, so
     # their cotangents flow back — scatter with the gather offsets
-    out = _pallas_scatter(plan._replace(delta_s=plan.delta_g), ct)
+    out = _scatter_impl(plan._replace(delta_s=plan.delta_g), ct)
     return (out[:, :nvert],)
 
 
@@ -268,7 +321,7 @@ def banded_scatter(plan: BandedPlan, loc: jnp.ndarray, n_rows: int):
     ``loc``: (nv, C, ngroups*gc) — the transpose of :func:`banded_gather`
     restricted to real cells (padding slots are dropped via ``delta_s``).
     """
-    out = _pallas_scatter(plan, loc)
+    out = _scatter_impl(plan, loc)
     return out[:, :n_rows]
 
 
@@ -280,7 +333,7 @@ def _banded_scatter_bwd(plan, n_rows, _saved, ct):
     ctpad = jnp.pad(ct, ((0, 0), (0, plan.nvert_pad - ct.shape[1])))
     # transpose of scatter = gather with the scatter offsets (padding
     # slots get zero cotangents)
-    out = _pallas_gather(plan._replace(delta_g=plan.delta_s), ctpad)
+    out = _gather_impl(plan._replace(delta_g=plan.delta_s), ctpad)
     return (out,)
 
 
