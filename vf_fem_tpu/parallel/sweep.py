@@ -60,7 +60,13 @@ def sweep_integrate(
     ``prop_batch`` leaves have a leading batch axis.  With ``mesh`` given,
     the batch axis is sharded across devices: XLA runs each shard's scan on
     its own core (pure data parallelism over ICI).
+
+    Unless overridden, ``assembly='plain'`` is pinned: in the vmapped
+    regime the indexed gather amortizes its (batch-shared) indices over
+    the batch axis and beats the banded Pallas path (measured 15882 vs
+    10189 variant-steps/s at batch 256 on the M5 CAD mesh).
     """
+    params = {"assembly": "plain", **(params or {})}
     times = jnp.asarray(times)
 
     in_axes_c = 0 if batch_controls else None
@@ -97,8 +103,10 @@ def sweep_grad(
     Per-variant gradients of a scalar trajectory functional, batched and
     sharded like :func:`sweep_integrate` — a full "training step" for
     gradient-based phonation studies (one backward per variant, all
-    variants in parallel).
+    variants in parallel).  ``assembly='plain'`` is pinned as in
+    :func:`sweep_integrate` (the vmapped-regime measured best).
     """
+    params = {"assembly": "plain", **(params or {})}
     times = jnp.asarray(times)
 
     def loss(prop):
