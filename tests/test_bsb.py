@@ -252,3 +252,62 @@ def test_btd_direct_solve_and_trajectory():
 
     g = jax.grad(loss)(pd)
     assert np.isfinite(np.asarray(g["emod"])).all()
+
+
+def test_btd_banded_3d_trajectory():
+    """The full large-mesh stack (banded assembly + btd direct solves,
+    incl. bf16-stored factors) reproduces the exact-Jacobian trajectory
+    on an extruded 3D tet FSI model (one fluid channel per z-plane)."""
+    from vf_fem_tpu import forward
+    from vf_fem_tpu.mesh import m5_mesh
+    from vf_fem_tpu.mesh.extrude import extrude_mesh
+    from vf_fem_tpu.load import load_fsi_model
+
+    zs = np.linspace(0.0, 1.5, 3)
+    mesh = rcm_mesh(extrude_mesh(m5_mesh("M5_CB_GA3", h=0.1, smooth_iters=5), zs))
+    model = load_fsi_model(
+        mesh, slr.KelvinVoigt, flr.BernoulliAreaRatioSep,
+        coupling="explicit", zs=zs,
+    )
+    ymax = mesh.coords[:, 1].max()
+    prop = model.prop
+    prop["emod"][:] = 5e4
+    prop["rho"][:] = 1.0
+    prop["eta"][:] = 3.0
+    prop["nu"][:] = 0.45
+    prop["ycontact"][:] = ymax + 0.05
+    prop["kcontact"][:] = 1e8
+    prop["rho_air"][:] = 1.1225e-3
+    prop["r_sep"][:] = 1.0
+    prop["area_lb"][:] = 1e-4
+    prop["ymid"][:] = ymax + 0.01
+    model.set_prop(prop)
+    model.control["psub"][:] = 8000.0
+    model.set_control(model.control)
+
+    state0 = {k: np.zeros_like(np.asarray(v))
+              for k, v in model.state0.sub_items()}
+    cs = forward._stack_controls(model, [model.control])
+    pd = model.prop_to_dict(model.prop)
+    times = np.asarray(5e-5 * np.arange(13))
+    fd, td, _ = forward.integrate_pure(
+        model, state0, cs, pd, times, {"jacobian_refresh_steps": 1}
+    )
+    fb, tb, ib = forward.integrate_pure(
+        model, state0, cs, pd, times,
+        {"assembly": "banded", "linear_solver": "btd",
+         "jacobian_refresh_steps": 6, "fixed_iterations": 3},
+    )
+    np.testing.assert_allclose(
+        np.asarray(tb["u"]), np.asarray(td["u"]), rtol=1e-7, atol=1e-11
+    )
+    # bf16-stored factors: trajectory agreement at the chord-certified level
+    fb16, tb16, _ = forward.integrate_pure(
+        model, state0, cs, pd, times,
+        {"assembly": "banded", "linear_solver": "btd",
+         "btd_store_dtype": "bfloat16",
+         "jacobian_refresh_steps": 6, "fixed_iterations": 3},
+    )
+    du = np.abs(np.asarray(tb16["u"]) - np.asarray(td["u"])).max()
+    uscale = np.abs(np.asarray(td["u"])).max()
+    assert du < 1e-5 * max(uscale, 1e-30)
