@@ -182,3 +182,54 @@ def test_sharded_bsb_matvec_and_solve():
     np.testing.assert_allclose(
         np.asarray(res.x), x_dense, rtol=1e-6, atol=1e-8
     )
+
+
+def test_dp_tp_2d_mesh_matvec():
+    """DP x TP over a 2D (batch=4, shard=2) device mesh: per-variant
+    banded Jacobians, block-rows halo-sharded on the inner axis — matches
+    per-variant single-device matvecs."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from vf_fem_tpu.load import load_solid_model
+    from vf_fem_tpu.mesh import vocal_fold_mesh
+    from vf_fem_tpu.mesh.reorder import rcm_mesh
+    from vf_fem_tpu.residuals import solid as slr
+    from vf_fem_tpu.solvers import bsb
+    from vf_fem_tpu.parallel import bsb_shard
+
+    model = load_solid_model(
+        rcm_mesh(vocal_fold_mesh(30, 15)), slr.KelvinVoigt
+    )
+    prop0 = {k: jnp.asarray(v) for k, v in model.prop.sub_items()}
+    s0 = {k: jnp.zeros(model.ndof) for k in ("u", "v", "a")}
+    ctrl = {"p1": jnp.full(model.nvert, 500.0)}
+    plan = model._get_bsb_plan()
+
+    B, S = 4, 2
+    emods = [4e4, 5e4, 6e4, 7e4]
+    blocks_list, x_list, y_ref = [], [], []
+    rng = np.random.default_rng(11)
+    for em in emods:
+        p = dict(prop0)
+        p["emod"] = jnp.full_like(prop0["emod"], em)
+        op = model.jac_u_ebe(s0["u"], s0, ctrl, p, 1e-4)
+        blocks = bsb.bsb_fill(plan, [op.J_cells, op.J_facets])
+        x = jnp.asarray(rng.standard_normal(model.ndof))
+        bp, xp, _ = bsb_shard.pad_plan_arrays(plan, blocks, x, S)
+        blocks_list.append(bp)
+        x_list.append(xp)
+        y_ref.append(np.asarray(bsb.bsb_matvec(plan, blocks, x)))
+
+    blocks_b = jnp.stack(blocks_list)
+    x_b = jnp.stack(x_list)
+    mesh2d = Mesh(
+        np.asarray(jax.devices()[:8]).reshape(B, S), ("batch", "shard")
+    )
+    y_b = np.asarray(
+        bsb_shard.dp_tp_bsb_matvec(plan, blocks_b, x_b, mesh2d)
+    )
+    for i in range(B):
+        np.testing.assert_allclose(
+            y_b[i, : model.ndof], y_ref[i], rtol=1e-12, atol=1e-12
+        )

@@ -31,7 +31,12 @@ except ImportError:  # older jax
 
 from ..solvers.bsb import BSBPlan
 
-__all__ = ["pad_plan_arrays", "sharded_bsb_matvec", "sharded_bsb_bicgstab"]
+__all__ = [
+    "pad_plan_arrays",
+    "sharded_bsb_matvec",
+    "sharded_bsb_bicgstab",
+    "dp_tp_bsb_matvec",
+]
 
 
 def pad_plan_arrays(plan: BSBPlan, blocks, x, n_shards: int):
@@ -94,6 +99,69 @@ def sharded_bsb_matvec(
         return y.reshape(-1)
 
     return mv(blocks, x)
+
+
+def dp_tp_bsb_matvec(
+    plan: BSBPlan,
+    blocks_b,
+    x_b,
+    mesh: Mesh,
+    baxis: str = "batch",
+    saxis: str = "shard",
+):
+    """Batched + row-sharded banded matvec over a 2D device mesh.
+
+    Combines the two parallelism axes of SURVEY section 2.10 in one
+    program: independent variants (DP) on ``baxis`` and block-row domain
+    decomposition with ICI halo exchange (TP) on ``saxis`` — the layout
+    of a sharded batched parameter study whose per-variant mesh exceeds
+    one chip's HBM.
+
+    ``blocks_b``: (B, nblk_pad, nb, b, b) per-variant banded Jacobians;
+    ``x_b``: (B, nblk_pad*b).  Both batch and block-row dims must divide
+    the respective mesh axis sizes (``pad_plan_arrays`` for the rows).
+    """
+    Sb = mesh.shape[baxis]
+    S = mesh.shape[saxis]
+    b, h, nb = plan.b, plan.h, plan.nb
+    B, nblk_pad = x_b.shape[0], blocks_b.shape[1]
+    assert B % Sb == 0, "batch must divide the DP mesh axis"
+    L = nblk_pad // S
+    assert h <= L, "halo wider than a shard; use fewer devices"
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(baxis, saxis), P(baxis, saxis)),
+        out_specs=P(baxis, saxis),
+    )
+    def mv(blocks_l, x_l):
+        # blocks_l: (B_l, L, nb, b, b); x_l: (B_l, L*b)
+        def one(blocks_1, x_1):
+            xb = x_1.reshape(L, b)
+            right = jax.lax.ppermute(
+                xb[-h:], saxis, [(i, (i + 1) % S) for i in range(S)]
+            )
+            left = jax.lax.ppermute(
+                xb[:h], saxis, [(i, (i - 1) % S) for i in range(S)]
+            )
+            idx = jax.lax.axis_index(saxis)
+            right = jnp.where(idx == 0, jnp.zeros_like(right), right)
+            left = jnp.where(idx == S - 1, jnp.zeros_like(left), left)
+            xw_full = jnp.concatenate([right, xb, left], axis=0)
+            wins = jnp.stack(
+                [
+                    jax.lax.dynamic_slice(xw_full, (m, 0), (L, b))
+                    for m in range(nb)
+                ],
+                axis=1,
+            )  # (L, nb, b)
+            y = jnp.einsum("nmij,nmj->ni", blocks_1, wins)
+            return y.reshape(-1)
+
+        return jax.vmap(one)(blocks_l, x_l)
+
+    return mv(blocks_b, x_b)
 
 
 def sharded_bsb_bicgstab(
