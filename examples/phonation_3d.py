@@ -100,9 +100,12 @@ def main():
     pd = model.prop_to_dict(model.prop)
     times = args.dt * np.arange(args.steps + 1)
 
+    # windowed scan: one 500-step program compiles once and is reused for
+    # any --steps (remote-TPU compiles are expensive; the ~27 ms/window
+    # dispatch is negligible)
     t0 = time.perf_counter()
-    fin, traj, infos = forward.integrate_pure(
-        model, state0, cs, pd, times, tol
+    fin, traj, infos = forward._integrate_windowed(
+        model, state0, cs, pd, times, tol, window=500
     )
     jax.block_until_ready(fin)
     wall = time.perf_counter() - t0
