@@ -311,3 +311,47 @@ def test_btd_banded_3d_trajectory():
     du = np.abs(np.asarray(tb16["u"]) - np.asarray(td["u"])).max()
     uscale = np.abs(np.asarray(td["u"])).max()
     assert du < 1e-5 * max(uscale, 1e-30)
+
+
+def test_btd_banded_implicit_coupling():
+    """Implicit (Picard) FSI coupling routes its inner solid solves
+    through the same banded+btd stale factors; trajectory matches the
+    exact-Jacobian run."""
+    from vf_fem_tpu import forward
+
+    mesh = rcm_mesh(vocal_fold_mesh(10, 5))
+    ymax = mesh.coords[:, 1].max()
+    model = load_fsi_model(
+        mesh, slr.KelvinVoigt, flr.BernoulliSmoothMinSep,
+        coupling="implicit",
+    )
+    prop = model.prop
+    prop["emod"][:] = 5e4
+    prop["rho"][:] = 1.0
+    prop["eta"][:] = 3.0
+    prop["nu"][:] = 0.45
+    prop["ycontact"][:] = ymax + 0.05
+    prop["kcontact"][:] = 1e8
+    prop["rho_air"][:] = 1.1225e-3
+    prop["zeta_min"][:] = 1e-3
+    prop["zeta_sep"][:] = 1e-3
+    prop["ymid"][:] = ymax + 0.01
+    model.set_prop(prop)
+    model.control["psub"][:] = 8000.0
+    model.set_control(model.control)
+
+    state0 = {k: np.zeros_like(np.asarray(v))
+              for k, v in model.state0.sub_items()}
+    cs = forward._stack_controls(model, [model.control])
+    pd = model.prop_to_dict(model.prop)
+    times = np.asarray(5e-5 * np.arange(13))
+    fd, td, _ = forward.integrate_pure(
+        model, state0, cs, pd, times, {"jacobian_refresh_steps": 1}
+    )
+    fb, tb, _ = forward.integrate_pure(
+        model, state0, cs, pd, times,
+        {"assembly": "banded", "linear_solver": "btd",
+         "jacobian_refresh_steps": 6},
+    )
+    du = np.abs(np.asarray(tb["u"]) - np.asarray(td["u"])).max()
+    assert du < 1e-7 * np.abs(np.asarray(td["u"])).max()
