@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from . import blocks as bv
@@ -81,16 +82,32 @@ def static_coupled_configuration_picard(
         "p": jnp.zeros_like(jnp.asarray(fluid.state0["p"])),
     }
 
+    # One jitted Picard iteration (cached on the model): running the
+    # static Newton + fluid solve eagerly re-dispatches thousands of ops
+    # per iteration — minutes per solve at CAD-mesh size, and the
+    # accumulated tiny executables can exhaust the process mmap budget.
+    piter = getattr(model, "_picard_iter_jit", None)
+    if piter is None:
+
+        def _piter(u1, qp, control_d, sl_prop, fl_prop, prop_d, params):
+            p_solid = model._pressure_to_solid(qp["p"])
+            u1_new, newton_info = solid.solve_static_u1(
+                u1, {"p1": p_solid}, sl_prop, params
+            )
+            area = model._area_from_u1(u1_new, prop_d)
+            fl_control = {"area": area, **control_d}
+            qp_new = fluid.solve_pure(fl_control, fl_prop, qp)
+            return u1_new, qp_new, newton_info
+
+        piter = jax.jit(_piter, static_argnums=(6,))
+        model._picard_iter_jit = piter
+
     info = {}
     err_prev = None
     for it in range(max_iter):
-        p_solid = model._pressure_to_solid(qp["p"])
-        u1_new, newton_info = solid.solve_static_u1(
-            u1, {"p1": p_solid}, sl_prop, params
+        u1_new, qp_new, newton_info = piter(
+            u1, qp, control_d, sl_prop, fl_prop, prop_d, params
         )
-        area = model._area_from_u1(u1_new, prop_d)
-        fl_control = {"area": area, **control_d}
-        qp_new = fluid.solve_pure(fl_control, fl_prop, qp)
 
         err = float(
             np.linalg.norm(np.asarray(u1_new - u1))
