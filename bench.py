@@ -232,6 +232,11 @@ def main():
         signal.alarm(1500)
         try:
             model_l = build(f64, mesh_file="M5_3layers_rcm_h006.msh")
+            # guard against build()'s default-mesh fallback silently
+            # substituting the ~1k-dof mesh if the asset goes missing
+            assert model_l.solid.ndof > 10_000, (
+                "large-mesh RCM asset missing; leg skipped"
+            )
             tol_l = {
                 "assembly": "banded",
                 "linear_solver": "btd",

@@ -24,7 +24,6 @@ def main():
 
     import bench
     from vf_fem_tpu import forward
-    from vf_fem_tpu.models.transient import _params_key
 
     f64 = jax.devices()[0].platform == "cpu"
     model = bench.build(f64)

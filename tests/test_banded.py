@@ -193,3 +193,15 @@ def test_xla_fallback_matches_kernels(mesh, plan):
     s_kernel = np.asarray(banded._pallas_scatter(plan, loc))
     s_xla = np.asarray(banded._xla_scatter(plan, loc))
     np.testing.assert_allclose(s_kernel, s_xla, rtol=0, atol=1e-12)
+
+    # the vjp rules substitute delta_s into the gather (and delta_g into
+    # the scatter): padding markers (delta == w) must read/write ZERO in
+    # the fallback too, or gradient cotangents get corrupted
+    plan_s = plan._replace(delta_g=plan.delta_s)
+    gs_kernel = np.asarray(banded._pallas_gather(plan_s, Fp))
+    gs_xla = np.asarray(banded._xla_gather(plan_s, Fp))
+    np.testing.assert_array_equal(gs_kernel, gs_xla)
+    plan_g = plan._replace(delta_s=plan.delta_g)
+    sg_kernel = np.asarray(banded._pallas_scatter(plan_g, loc))
+    sg_xla = np.asarray(banded._xla_scatter(plan_g, loc))
+    np.testing.assert_allclose(sg_kernel, sg_xla, rtol=0, atol=1e-12)

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ..mesh.core import Mesh
 from . import elements
-from .forms import CellGeom, FacetGeom
+from .forms import CellGeom, FacetGeom, facet_restrict
 
 
 class Topology(NamedTuple):
@@ -116,8 +116,6 @@ def make_cell_geom(X_e: jnp.ndarray, topo: Topology) -> CellGeom:
 def make_facet_geom(
     X_e: jnp.ndarray, sel: jnp.ndarray, opp_sel: jnp.ndarray, topo: Topology
 ) -> FacetGeom:
-    from .forms import facet_restrict
-
     grads, _ = elements.cell_shape_gradients(X_e)
     Xf = facet_restrict(X_e, sel)  # (dimf, dim) facet vertex coordinates
     nv = X_e.shape[0]

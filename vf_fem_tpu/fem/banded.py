@@ -181,9 +181,15 @@ def _scatter_kernel(base_ref, delta_ref, loc_ref, out_ref, *, w, nv, gc):
 def _xla_gather(plan: BandedPlan, F: jnp.ndarray) -> jnp.ndarray:
     """Indexed-gather reference implementation (same layout contract as
     the Pallas kernel).  Used for non-TPU lowerings of a TPU-default
-    process (e.g. a CPU baseline leg pinned off the default device)."""
-    idx = jnp.asarray(plan.base)[:, None, None] + jnp.asarray(plan.delta_g)
-    out = F[:, idx]  # (C, ngroups, nv, gc)
+    process (e.g. a CPU baseline leg pinned off the default device).
+
+    Entries with ``delta == w`` (padding markers — present when the
+    scatter offsets are substituted in by ``_banded_scatter_bwd``) must
+    read as ZERO, exactly like the kernel's no-match one-hot row."""
+    delta = jnp.asarray(plan.delta_g)
+    idx = jnp.asarray(plan.base)[:, None, None] + delta
+    out = F[:, idx]  # (C, ngroups, nv, gc); clamped reads masked below
+    out = jnp.where((delta < plan.w)[None], out, 0.0)
     return jnp.transpose(out, (2, 0, 1, 3)).reshape(
         plan.nv, F.shape[0], plan.ngroups * plan.gc
     )

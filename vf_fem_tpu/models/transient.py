@@ -631,6 +631,10 @@ class SolidModel(BaseTransientModel):
                 (dstate0, dcontrol, dprop, ddt),
             )
             params_d = dict(params)
+            # the tangent is ONE uncorrected direct solve (no residual
+            # certification like the primal chord Newton): always use
+            # full-precision factors, whatever the primal's bf16 storage
+            params_d.pop("btd_store_dtype", None)
             if params_d.get("linear_solver", "dense") in _ITERATIVE_SOLVERS:
                 fac = make_iter_factors(
                     u1, state0, control, prop, dt, params_d

@@ -54,27 +54,13 @@ def pad_plan_arrays(plan: BSBPlan, blocks, x, n_shards: int):
     return blocks, xpad, nblk + pad
 
 
-def sharded_bsb_matvec(
-    plan: BSBPlan, blocks, x, mesh: Mesh, axis: str = "shard"
-):
-    """Apply the block-banded operator with block-rows sharded over
-    ``mesh``; returns the (sharded) product as a global array.
-
-    ``blocks``/``x`` must already be padded (``pad_plan_arrays``).
-    """
-    S = mesh.devices.size
+def _halo_mv_local(plan: BSBPlan, S: int, L: int, axis: str):
+    """Per-shard halo-exchange banded matvec body shared by the TP and
+    DP x TP entry points: two ``ppermute`` halo exchanges, end-zeroing
+    of the wrapped halos, window stacking, one batched einsum."""
     b, h, nb = plan.b, plan.h, plan.nb
-    nblk_pad = blocks.shape[0]
-    L = nblk_pad // S
-    assert h <= L, "halo wider than a shard; use fewer devices"
 
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(axis), P(axis)),
-        out_specs=P(axis),
-    )
-    def mv(blocks_l, x_l):
+    def mv_local(blocks_l, x_l):
         # blocks_l: (L, nb, b, b); x_l: (L*b,)
         xb = x_l.reshape(L, b)
         right = jax.lax.ppermute(  # my top h rows -> next shard's left halo
@@ -98,6 +84,28 @@ def sharded_bsb_matvec(
         y = jnp.einsum("nmij,nmj->ni", blocks_l, wins)
         return y.reshape(-1)
 
+    return mv_local
+
+
+def sharded_bsb_matvec(
+    plan: BSBPlan, blocks, x, mesh: Mesh, axis: str = "shard"
+):
+    """Apply the block-banded operator with block-rows sharded over
+    ``mesh``; returns the (sharded) product as a global array.
+
+    ``blocks``/``x`` must already be padded (``pad_plan_arrays``).
+    """
+    S = mesh.devices.size
+    nblk_pad = blocks.shape[0]
+    L = nblk_pad // S
+    assert plan.h <= L, "halo wider than a shard; use fewer devices"
+
+    mv = partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=P(axis),
+    )(_halo_mv_local(plan, S, L, axis))
     return mv(blocks, x)
 
 
@@ -123,11 +131,12 @@ def dp_tp_bsb_matvec(
     """
     Sb = mesh.shape[baxis]
     S = mesh.shape[saxis]
-    b, h, nb = plan.b, plan.h, plan.nb
     B, nblk_pad = x_b.shape[0], blocks_b.shape[1]
     assert B % Sb == 0, "batch must divide the DP mesh axis"
     L = nblk_pad // S
-    assert h <= L, "halo wider than a shard; use fewer devices"
+    assert plan.h <= L, "halo wider than a shard; use fewer devices"
+
+    one = _halo_mv_local(plan, S, L, saxis)
 
     @partial(
         shard_map,
@@ -137,28 +146,6 @@ def dp_tp_bsb_matvec(
     )
     def mv(blocks_l, x_l):
         # blocks_l: (B_l, L, nb, b, b); x_l: (B_l, L*b)
-        def one(blocks_1, x_1):
-            xb = x_1.reshape(L, b)
-            right = jax.lax.ppermute(
-                xb[-h:], saxis, [(i, (i + 1) % S) for i in range(S)]
-            )
-            left = jax.lax.ppermute(
-                xb[:h], saxis, [(i, (i - 1) % S) for i in range(S)]
-            )
-            idx = jax.lax.axis_index(saxis)
-            right = jnp.where(idx == 0, jnp.zeros_like(right), right)
-            left = jnp.where(idx == S - 1, jnp.zeros_like(left), left)
-            xw_full = jnp.concatenate([right, xb, left], axis=0)
-            wins = jnp.stack(
-                [
-                    jax.lax.dynamic_slice(xw_full, (m, 0), (L, b))
-                    for m in range(nb)
-                ],
-                axis=1,
-            )  # (L, nb, b)
-            y = jnp.einsum("nmij,nmj->ni", blocks_1, wins)
-            return y.reshape(-1)
-
         return jax.vmap(one)(blocks_l, x_l)
 
     return mv(blocks_b, x_b)

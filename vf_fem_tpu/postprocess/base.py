@@ -69,6 +69,8 @@ class TimeSeries:
         import jax
         import jax.numpy as jnp
 
+        if len(ns) == 0:
+            return np.array([])
         prop = f.get_prop()
         prop_d = {k: np.asarray(v) for k, v in prop.sub_items()}
 

@@ -103,7 +103,7 @@ def static_coupled_configuration_picard(
         model._picard_iter_jit = piter
 
     info = {}
-    err_prev = None
+    err0 = None
     for it in range(max_iter):
         u1_new, qp_new, newton_info = piter(
             u1, qp, control_d, sl_prop, fl_prop, prop_d, params
@@ -114,15 +114,15 @@ def static_coupled_configuration_picard(
             + np.linalg.norm(np.asarray(qp_new["p"] - qp["p"]))
         )
         u1, qp = u1_new, qp_new
+        if err0 is None:
+            err0 = err if err else 1.0
         info = {
             "num_iter": it + 1,
             "abs_err": err,
-            "rel_err": err / (err_prev if err_prev else (err if err else 1.0)),
+            "rel_err": err / err0,
         }
-        if err < abs_tol:
+        if err < abs_tol or err < rel_tol * err0:
             break
-        if err_prev is None:
-            err_prev = err
 
     nsolid = model.solid.ndof
     state = bv.BlockVector(
