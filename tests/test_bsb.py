@@ -214,6 +214,11 @@ def test_btd_direct_solve_and_trajectory():
     xr = np.linalg.solve(A, np.asarray(r))
     np.testing.assert_allclose(x, xr, rtol=1e-9, atol=1e-11)
 
+    # transposed solve with the SAME factors (A = Lt Ut -> A^T = Ut^T Lt^T)
+    xt = np.asarray(btd.btd_solve_t(plan, fac, r))
+    xt_ref = np.linalg.solve(A.T, np.asarray(r))
+    np.testing.assert_allclose(xt, xt_ref, rtol=1e-9, atol=1e-11)
+
     # bf16-stored factors: ~1e-2 solve accuracy, and iterative refinement
     # (the chord-Newton use pattern) contracts the error
     fac16 = btd.btd_factor(plan, blocks, store_dtype="bfloat16")
@@ -241,7 +246,7 @@ def test_btd_direct_solve_and_trajectory():
     np.testing.assert_allclose(
         np.asarray(tb["u"]), np.asarray(td["u"]), rtol=1e-8, atol=1e-12
     )
-    # gradients reroute the adjoint solve to matrix-free Krylov
+    # adjoint solves use the transposed Thomas factors directly
     def loss(p):
         fin, _, _ = forward.integrate_pure(
             model, state0, cs, p, np.asarray(5e-5 * np.arange(5)),

@@ -57,10 +57,9 @@ def _params_key(params: Optional[dict]) -> tuple:
 
 
 _ITERATIVE_SOLVERS = ("cg", "bsb", "btd")
-# adjoint (transposed) solves for the direct 'btd' factorization reroute
-# to matrix-free Krylov — the transpose factorization isn't worth its
-# cost for a once-per-step backward solve
-_BWD_FALLBACK = {"btd": "cg"}
+# adjoint (transposed) solve fallbacks by linear_solver; 'btd' needs none:
+# the stored Thomas factors solve A^T x = r directly (btd_solve_t)
+_BWD_FALLBACK = {}
 
 
 def _iter_solve(factors, r, params_d, transpose=False, bsb_plan=None):
@@ -79,7 +78,8 @@ def _iter_solve(factors, r, params_d, transpose=False, bsb_plan=None):
     if params_d.get("linear_solver") == "btd":
         from ..solvers import btd as btd_mod
 
-        assert not transpose  # bwd paths reroute via _BWD_FALLBACK
+        if transpose:
+            return btd_mod.btd_solve_t(bsb_plan, factors, r)
         return btd_mod.btd_solve(bsb_plan, factors, r)
 
     A, Dinv = factors
@@ -590,6 +590,9 @@ class SolidModel(BaseTransientModel):
             params_d = dict(params)
             ls = params_d.get("linear_solver", "dense")
             params_d["linear_solver"] = _BWD_FALLBACK.get(ls, ls)
+            # the adjoint is ONE uncorrected transposed solve: always use
+            # full-precision factors, whatever the primal's bf16 storage
+            params_d.pop("btd_store_dtype", None)
             if params_d["linear_solver"] in _ITERATIVE_SOLVERS:
                 fac = make_iter_factors(
                     u1, state0, control, prop, dt, params_d
@@ -765,6 +768,9 @@ class SolidModel(BaseTransientModel):
             params_d = dict(params)
             ls = params_d.get("linear_solver", "dense")
             params_d["linear_solver"] = _BWD_FALLBACK.get(ls, ls)
+            # the adjoint is ONE uncorrected transposed solve: always use
+            # full-precision factors, whatever the primal's bf16 storage
+            params_d.pop("btd_store_dtype", None)
             if params_d["linear_solver"] in _ITERATIVE_SOLVERS:
                 # matrix-free adjoint: transposed operator at u1
                 fac = make_iter_factors(

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from .bsb import BSBPlan
 
-__all__ = ["BTDFactors", "btd_factor", "btd_solve"]
+__all__ = ["BTDFactors", "btd_factor", "btd_solve", "btd_solve_t"]
 
 
 class BTDFactors(NamedTuple):
@@ -170,6 +170,67 @@ def btd_solve(plan: BSBPlan, factors: BTDFactors, r: jnp.ndarray):
 
     _, x = jax.lax.scan(
         bwd, jnp.zeros(Bt, rb.dtype), (Sinv, U, y), reverse=True
+    )
+    x = x.reshape(-1)[: r.shape[0]]
+    return x / d[: r.shape[0]]
+
+
+def _mvT(A, x):
+    """A.T @ x with the same dtype handling as :func:`_mv`."""
+    if A.dtype == jnp.bfloat16:
+        out = jax.lax.dot_general(
+            A,
+            x.astype(A.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return out.astype(x.dtype)
+    return A.T @ x
+
+
+def btd_solve_t(plan: BSBPlan, factors: BTDFactors, r: jnp.ndarray):
+    """Direct TRANSPOSED solve ``A^T x = r`` with the same stored factors.
+
+    The Thomas factorization is ``A_s = Lt Ut`` with ``Lt`` block lower
+    bidiagonal (diag ``S_i``, sub ``L_i``) and ``Ut`` upper bidiagonal
+    (diag ``I``, super ``Sinv_i U_i``); hence ``A_s^T = Ut^T Lt^T`` solves
+    in two sweeps of per-block *transposed* matvecs:
+
+        z_i = r_i - U_{i-1}^T Sinv_{i-1}^T z_{i-1}        (forward)
+        x_i = Sinv_i^T (z_i - L_{i+1}^T x_{i+1})          (backward)
+
+    The equilibration is symmetric (``d`` on both sides), so pre/post
+    scaling is identical to :func:`btd_solve`.  This is what makes IFT
+    adjoint solves direct at large mesh sizes (the reverse path
+    previously rerouted to matrix-free Krylov)."""
+    Sinv, L, U, d = factors
+    n_sup, Bt, _ = Sinv.shape
+    npad = n_sup * Bt - r.shape[0]
+    rb = jnp.pad(r / d[: r.shape[0]], (0, npad)).reshape(n_sup, Bt)
+
+    U_prev = jnp.concatenate([jnp.zeros_like(U[:1]), U[:-1]], axis=0)
+    Sinv_prev = jnp.concatenate(
+        [jnp.zeros_like(Sinv[:1]), Sinv[:-1]], axis=0
+    )
+
+    def fwd(z_prev, xs):
+        Sinv_im1, U_im1, r_i = xs
+        z = r_i - _mvT(U_im1, _mvT(Sinv_im1, z_prev))
+        return z, z
+
+    _, z = jax.lax.scan(
+        fwd, jnp.zeros(Bt, rb.dtype), (Sinv_prev, U_prev, rb)
+    )
+
+    L_next = jnp.concatenate([L[1:], jnp.zeros_like(L[:1])], axis=0)
+
+    def bwd(x_next, xs):
+        Sinv_i, L_ip1, z_i = xs
+        x = _mvT(Sinv_i, z_i - _mvT(L_ip1, x_next))
+        return x, x
+
+    _, x = jax.lax.scan(
+        bwd, jnp.zeros(Bt, rb.dtype), (Sinv, L_next, z), reverse=True
     )
     x = x.reshape(-1)[: r.shape[0]]
     return x / d[: r.shape[0]]
