@@ -29,6 +29,10 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--steps", type=int, default=100)
     parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument("--large", action="store_true",
+                        help="23.7k-dof mesh through banded+btd (the"
+                        " reverse sweep uses the transposed Thomas"
+                        " factors, solvers/btd.btd_solve_t)")
     args = parser.parse_args()
 
     import jax
@@ -38,7 +42,12 @@ def main():
 
     from vf_fem_tpu import forward
 
-    model = setup_model()
+    if args.large:
+        from benchmark_large import build_model
+
+        model = build_model(0.006)
+    else:
+        model = setup_model()
     state0_bv, control, prop_bv = setup_transient_args(model)
     model.set_prop(prop_bv)
     print(f"device {jax.devices()[0].platform},"
@@ -52,7 +61,16 @@ def main():
     prop_d = model.prop_to_dict(prop_bv)
     times = jnp.asarray(1e-4 * np.arange(args.steps + 1))
 
-    if jax.devices()[0].platform == "cpu":
+    if args.large:
+        solver_prm = {
+            "assembly": "banded",
+            "linear_solver": "btd",
+            "btd_store_dtype": "bfloat16",
+            "jacobian_refresh_steps": 16,
+            "fixed_iterations": 3,
+            "stagnation_ratio": 0.5,
+        }
+    elif jax.devices()[0].platform == "cpu":
         solver_prm = {"stagnation_ratio": 0.5}
     else:
         solver_prm = {
