@@ -360,3 +360,85 @@ def test_btd_banded_implicit_coupling():
     )
     du = np.abs(np.asarray(tb["u"]) - np.asarray(td["u"])).max()
     assert du < 1e-7 * np.abs(np.asarray(td["u"])).max()
+
+
+def test_stale_adjoint_refinement_matches_exact():
+    """The reverse sweep's refined stale-factor adjoint (carried forward
+    factors as preconditioner + exact transposed-Jacobian refinement;
+    ``adjoint_refine='stale'``, the default) reproduces the
+    refactor-every-step exact adjoint and finite differences — including
+    with bf16-stored Thomas factors."""
+    from vf_fem_tpu import forward
+
+    mesh = rcm_mesh(vocal_fold_mesh(10, 5))
+    ymax = mesh.coords[:, 1].max()
+    model = load_fsi_model(
+        mesh, slr.KelvinVoigt, flr.BernoulliSmoothMinSep, coupling="explicit"
+    )
+    prop = model.prop
+    prop["emod"][:] = 5e4
+    prop["rho"][:] = 1.0
+    prop["eta"][:] = 3.0
+    prop["nu"][:] = 0.45
+    prop["ycontact"][:] = ymax + 0.05
+    prop["kcontact"][:] = 1e8
+    prop["rho_air"][:] = 1.1225e-3
+    prop["zeta_min"][:] = 1e-3
+    prop["zeta_sep"][:] = 1e-3
+    prop["ymid"][:] = ymax + 0.01
+    model.set_prop(prop)
+    model.control["psub"][:] = 8000.0
+    model.set_control(model.control)
+
+    state0 = {k: np.zeros_like(np.asarray(v))
+              for k, v in model.state0.sub_items()}
+    cs = forward._stack_controls(model, [model.control])
+    pd = model.prop_to_dict(model.prop)
+    times = np.asarray(5e-5 * np.arange(9))
+
+    def make_loss(extra):
+        prm = {"linear_solver": "btd", "jacobian_refresh_steps": 4,
+               **extra}
+
+        def loss(p):
+            fin, traj, _ = forward.integrate_pure(
+                model, state0, cs, p, times, prm, use_remat=True
+            )
+            return jnp.sum(fin["u"] ** 2) * 1e4
+
+        return loss
+
+    v_st, g_st = jax.value_and_grad(make_loss({}))(pd)
+    v_ex, g_ex = jax.value_and_grad(
+        make_loss({"adjoint_refine": "exact"})
+    )(pd)
+    np.testing.assert_allclose(float(v_st), float(v_ex), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(g_st["emod"]), np.asarray(g_ex["emod"]),
+        rtol=1e-6, atol=1e-30,
+    )
+
+    # bf16-stored factors in the forward sweep: the refinement treats
+    # them as a preconditioner only, so the gradient stays exact
+    g_16 = jax.grad(make_loss({"btd_store_dtype": "bfloat16"}))(pd)
+    np.testing.assert_allclose(
+        np.asarray(g_16["emod"]), np.asarray(g_ex["emod"]),
+        rtol=1e-5, atol=1e-30,
+    )
+
+    # FD check
+    loss = make_loss({})
+    h = 10.0
+    pp = {k: np.asarray(v).copy() for k, v in pd.items()}
+    pm = {k: np.asarray(v).copy() for k, v in pd.items()}
+    pp["emod"] = pp["emod"] + h
+    pm["emod"] = pm["emod"] - h
+    fd = (float(loss(pp)) - float(loss(pm))) / (2 * h)
+    np.testing.assert_allclose(float(np.sum(g_st["emod"])), fd, rtol=1e-5)
+
+    # dense stale factors refine the same way
+    g_d = jax.grad(make_loss({"linear_solver": "dense"}))(pd)
+    np.testing.assert_allclose(
+        np.asarray(g_d["emod"]), np.asarray(g_ex["emod"]),
+        rtol=1e-6, atol=1e-30,
+    )

@@ -56,7 +56,7 @@ def _params_key(params: Optional[dict]) -> tuple:
     return tuple(sorted(params.items()))
 
 
-_ITERATIVE_SOLVERS = ("cg", "bsb", "btd")
+_ITERATIVE_SOLVERS = ("cg", "bsb", "btd", "spike")
 # adjoint (transposed) solve fallbacks by linear_solver; 'btd' needs none:
 # the stored Thomas factors solve A^T x = r directly (btd_solve_t)
 _BWD_FALLBACK = {}
@@ -81,6 +81,13 @@ def _iter_solve(factors, r, params_d, transpose=False, bsb_plan=None):
         if transpose:
             return btd_mod.btd_solve_t(bsb_plan, factors, r)
         return btd_mod.btd_solve(bsb_plan, factors, r)
+
+    if params_d.get("linear_solver") == "spike":
+        from ..solvers import spike as spike_mod
+
+        if transpose:
+            return spike_mod.spike_solve_t(bsb_plan, factors, r)
+        return spike_mod.spike_solve(bsb_plan, factors, r)
 
     A, Dinv = factors
     block = Dinv.shape[-1]
@@ -498,6 +505,17 @@ class SolidModel(BaseTransientModel):
                     get_bsb_plan(), blocks,
                     store_dtype=params_d.get("btd_store_dtype"),
                 )
+            if ls == "spike":
+                from ..solvers import bsb as bsb_mod, spike as spike_mod
+
+                blocks = bsb_mod.bsb_fill(
+                    get_bsb_plan(), [op.J_cells, op.J_facets]
+                )
+                return spike_mod.spike_factor(
+                    get_bsb_plan(), blocks,
+                    n_parts=int(params_d.get("spike_partitions", 8)),
+                    store_dtype=params_d.get("btd_store_dtype"),
+                )
             Dinv = op.block_diag_inverse(dim)
             if ls == "bsb":
                 from ..solvers import bsb as bsb_mod
@@ -517,6 +535,71 @@ class SolidModel(BaseTransientModel):
             return _iter_solve(
                 factors, r, params_d, transpose=transpose, bsb_plan=plan
             )
+
+        def _precond_t(factors, r, params_d):
+            """Apply carried (possibly stale / bf16) factors as a
+            TRANSPOSED preconditioner ``M^{-T} r``."""
+            if params_d.get("linear_solver", "dense") in _ITERATIVE_SOLVERS:
+                return iter_solve(factors, r, params_d, transpose=True)
+            Ainv, d = factors
+            return (Ainv.T @ (r / d)) / d
+
+        def refined_adjoint_solve(factors, u1, state0, control, prop, dt,
+                                  u1_bar, params_d):
+            """Solve ``J(u1)^T lam = u1_bar`` by iterative refinement with
+            the carried stale factors as preconditioner.
+
+            The exact transposed-Jacobian action is one reverse-mode pass
+            through the (banded) residual — HBM-streaming cost — so each
+            refinement step costs ~one residual vjp + one stale solve,
+            replacing the per-reverse-step Jacobian refill + refactor that
+            made value+grad 6.5x a forward pass at large mesh
+            (reference for the exact-adjoint contract this preserves:
+            ``solve_dres_dstate1_adj``, reference ``transient.py:493-513``).
+            Richardson iteration ``lam += M^{-T}(u1_bar - J^T lam)``
+            converges whenever the chord Newton with the same factors does;
+            best-iterate tracking + a stagnation stop certify the result.
+            """
+            tol = params_d.get("adjoint_refine_tol", 1e-8)
+            max_it = int(params_d.get("adjoint_refine_iters", 25))
+            stag = params_d.get("stagnation_ratio", 0.9)
+
+            _, u1_vjp = jax.vjp(
+                lambda u: res_u_fast(u, state0, control, prop, dt,
+                                     params_d),
+                u1,
+            )
+
+            def JT(v):
+                return u1_vjp(v)[0]
+
+            bnorm = jnp.linalg.norm(u1_bar)
+            lam = _precond_t(factors, u1_bar, params_d)
+            r = u1_bar - JT(lam)
+            rn = jnp.linalg.norm(r)
+            big = jnp.asarray(jnp.inf, dtype=rn.dtype)
+
+            def cond(carry):
+                lam, r, rn, rn_prev, lam_best, rn_best, k = carry
+                return jnp.logical_and(
+                    jnp.logical_and(rn >= tol * bnorm, rn < stag * rn_prev),
+                    k < max_it,
+                )
+
+            def body(carry):
+                lam, r, rn, rn_prev, lam_best, rn_best, k = carry
+                lam = lam + _precond_t(factors, r, params_d)
+                r = u1_bar - JT(lam)
+                rn_new = jnp.linalg.norm(r)
+                better = rn_new < rn_best
+                lam_best = jnp.where(better, lam, lam_best)
+                rn_best = jnp.where(better, rn_new, rn_best)
+                return (lam, r, rn_new, rn, lam_best, rn_best, k + 1)
+
+            out = jax.lax.while_loop(
+                cond, body, (lam, r, rn, big, lam, rn, 0)
+            )
+            return out[4]
 
         # ---- Pure Newton solve with IFT adjoint ----
         def _solve_u1_fwd_only(u_guess, state0, control, prop, dt, params):
@@ -768,16 +851,25 @@ class SolidModel(BaseTransientModel):
             params_d = dict(params)
             ls = params_d.get("linear_solver", "dense")
             params_d["linear_solver"] = _BWD_FALLBACK.get(ls, ls)
-            # the adjoint is ONE uncorrected transposed solve: always use
-            # full-precision factors, whatever the primal's bf16 storage
-            params_d.pop("btd_store_dtype", None)
-            if params_d["linear_solver"] in _ITERATIVE_SOLVERS:
-                # matrix-free adjoint: transposed operator at u1
+            if params_d.get("adjoint_refine", "stale") == "stale":
+                # reuse the forward sweep's carried factors (bf16-stored
+                # ones included — they are only a preconditioner here) and
+                # refine against the exact transposed-Jacobian action: no
+                # per-reverse-step refill/refactor
+                lam = refined_adjoint_solve(
+                    factors, u1, state0, control, prop, dt, u1_bar,
+                    params_d,
+                )
+            elif params_d["linear_solver"] in _ITERATIVE_SOLVERS:
+                # exact mode: rebuild full-precision factors at u1 and do
+                # ONE uncorrected transposed solve
+                params_d.pop("btd_store_dtype", None)
                 fac = make_iter_factors(
                     u1, state0, control, prop, dt, params_d
                 )
                 lam = iter_solve(fac, u1_bar, params_d, transpose=True)
             else:
+                params_d.pop("btd_store_dtype", None)
                 A = jac_u_dense(u1, state0, control, prop, dt)
                 lam = linalg.dense_solve_transpose(A, u1_bar)
             _, vjp = jax.vjp(

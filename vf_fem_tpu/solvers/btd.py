@@ -32,7 +32,13 @@ import jax.numpy as jnp
 
 from .bsb import BSBPlan
 
-__all__ = ["BTDFactors", "btd_factor", "btd_solve", "btd_solve_t"]
+__all__ = [
+    "BTDFactors",
+    "btd_factor",
+    "btd_solve",
+    "btd_solve_t",
+    "btd_superblocks",
+]
 
 
 class BTDFactors(NamedTuple):
@@ -92,6 +98,25 @@ def _scale_blocks(plan: BSBPlan, blocks: jnp.ndarray, d: jnp.ndarray):
     return blocks / dr[:, None, :, None] / dc[:, :, None, :]
 
 
+def btd_superblocks(plan: BSBPlan, blocks: jnp.ndarray):
+    """Equilibrate the banded Jacobian and regroup it into
+    block-tridiagonal super-blocks ``(D, L, U)`` plus the scale ``d``.
+
+    Shared front-end of the block-Thomas factorization here and the
+    SPIKE-partitioned factorization (``solvers.spike``)."""
+    d = _equilibration(plan, blocks)
+    blocks_s = _scale_blocks(plan, blocks, d)
+    # the trailing pad rows of the last block (beyond ndof) are all-zero;
+    # harmless for Krylov but singular for a direct factorization —
+    # install identity rows (in the scaled space)
+    tail_start = plan.ndof - (plan.nblk - 1) * plan.b
+    if tail_start < plan.b:
+        ii = jnp.arange(tail_start, plan.b)
+        blocks_s = blocks_s.at[plan.nblk - 1, plan.h, ii, ii].add(1.0)
+    D, L, U, n_sup, pad = _btd_from_bsb(plan, blocks_s)
+    return D, L, U, d
+
+
 def btd_factor(
     plan: BSBPlan, blocks: jnp.ndarray, store_dtype=None
 ) -> BTDFactors:
@@ -105,16 +130,7 @@ def btd_factor(
     residual-certified (see ``solvers.newton``).  Matvecs accumulate in
     f32 (``preferred_element_type``).
     """
-    d = _equilibration(plan, blocks)
-    blocks_s = _scale_blocks(plan, blocks, d)
-    # the trailing pad rows of the last block (beyond ndof) are all-zero;
-    # harmless for Krylov but singular for a direct factorization —
-    # install identity rows (in the scaled space)
-    tail_start = plan.ndof - (plan.nblk - 1) * plan.b
-    if tail_start < plan.b:
-        ii = jnp.arange(tail_start, plan.b)
-        blocks_s = blocks_s.at[plan.nblk - 1, plan.h, ii, ii].add(1.0)
-    D, L, U, n_sup, pad = _btd_from_bsb(plan, blocks_s)
+    D, L, U, d = btd_superblocks(plan, blocks)
     Bt = D.shape[1]
     eye = jnp.eye(Bt, dtype=D.dtype)
 
