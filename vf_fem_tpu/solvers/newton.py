@@ -33,6 +33,7 @@ def newton_solve(
     assem_res: Callable[[jnp.ndarray], jnp.ndarray],
     solve_jac: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
     params: dict = None,
+    norm_fn: Callable = None,
 ):
     """
     Solve ``res(x) = 0`` by Newton's method.
@@ -41,11 +42,17 @@ def newton_solve(
     ``J(x)^{-1} r``.  Iterates ``x <- x - J^{-1} res`` until the residual
     norm meets the absolute/relative tolerance, all inside a jittable
     ``while_loop`` with a static iteration cap.
+
+    ``norm_fn`` overrides the residual norm — the DOF-sharded integrator
+    (``parallel.ddstep``) passes a ``psum``-reduced norm so every device
+    takes identical Newton branches.
     """
     params = {**DEFAULT_NEWTON_SOLVER_PRM, **(params or {})}
     abs_tol = params["absolute_tolerance"]
     rel_tol = params["relative_tolerance"]
     max_iter = params["maximum_iterations"]
+    if norm_fn is None:
+        norm_fn = jnp.linalg.norm
 
     # Statically unrolled fixed-iteration mode: no while_loop, no per-step
     # convergence branching — XLA fuses across iterations, which wins on
@@ -57,12 +64,12 @@ def newton_solve(
     if n_fixed:
         x = x0
         res = assem_res(x)
-        err0 = jnp.linalg.norm(res)
+        err0 = norm_fn(res)
         x_best, err_best = x, err0
         for _ in range(int(n_fixed)):
             x = x - solve_jac(x, res)
             res = assem_res(x)
-            err = jnp.linalg.norm(res)
+            err = norm_fn(res)
             better = err < err_best
             x_best = jnp.where(better, x, x_best)
             err_best = jnp.where(better, err, err_best)
@@ -80,7 +87,7 @@ def newton_solve(
     stagnation_ratio = params.get("stagnation_ratio", 0.9)
 
     res0 = assem_res(x0)
-    err0 = jnp.linalg.norm(res0)
+    err0 = norm_fn(res0)
     big = jnp.asarray(jnp.inf, dtype=err0.dtype)
 
     def cond(carry):
@@ -96,7 +103,7 @@ def newton_solve(
         dx = solve_jac(x, res)
         x = x - dx
         res = assem_res(x)
-        err_new = jnp.linalg.norm(res)
+        err_new = norm_fn(res)
         # Track the best iterate: with an approximate Jacobian (stale /
         # Newton–Schulz-refreshed factors) an iteration can overshoot; the
         # returned state must be the lowest-residual one seen, not the last.
