@@ -1,0 +1,167 @@
+"""
+DOF-sharded end-to-end integration tests (``parallel.ddstep`` +
+``parallel.spike_shard``): the whole coupled FSI time loop runs inside
+one ``shard_map`` program with the solid DOF axis partitioned over the
+device mesh, and must reproduce the single-device trajectory and
+gradients.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from vf_fem_tpu import forward
+from vf_fem_tpu.load import load_fsi_model, load_solid_model
+from vf_fem_tpu.mesh import vocal_fold_mesh
+from vf_fem_tpu.mesh.reorder import rcm_mesh
+from vf_fem_tpu.residuals import fluid as flr, solid as slr
+from vf_fem_tpu.solvers import bsb
+from vf_fem_tpu.parallel import spike_shard
+
+
+def _make_model(nx=40, ny=20):
+    mesh = rcm_mesh(vocal_fold_mesh(nx, ny))
+    ymax = mesh.coords[:, 1].max()
+    model = load_fsi_model(
+        mesh, slr.KelvinVoigt, flr.BernoulliSmoothMinSep, coupling="explicit"
+    )
+    prop = model.prop
+    prop["emod"][:] = 5e4
+    prop["rho"][:] = 1.0
+    prop["eta"][:] = 3.0
+    prop["nu"][:] = 0.45
+    prop["ycontact"][:] = ymax + 0.05
+    prop["kcontact"][:] = 1e8
+    prop["rho_air"][:] = 1.1225e-3
+    prop["zeta_min"][:] = 1e-3
+    prop["zeta_sep"][:] = 1e-3
+    prop["ymid"][:] = ymax + 0.01
+    model.set_prop(prop)
+    model.control["psub"][:] = 8000.0
+    model.control["psup"][:] = 0.0
+    model.set_control(model.control)
+    return model
+
+
+def _mesh(n):
+    return Mesh(np.asarray(jax.devices("cpu")[:n]), ("shard",))
+
+
+def test_sharded_spike_matches_dense():
+    """Slab-per-device SPIKE factor+solve vs the dense solve on the
+    8-device virtual mesh (fwd and transposed)."""
+    model = _make_model(20, 10)
+    solid = model.solid
+    sprop = {k: jnp.asarray(v) for k, v in model.prop.sub_items()
+             if k in model._solid_prop_keys}
+    s0 = {k: jnp.zeros(solid.ndof) for k in ("u", "v", "a")}
+    ctrl = {"p1": jnp.full(solid.nvert, 800.0)}
+    op = solid.jac_u_ebe(s0["u"], s0, ctrl, sprop, 1e-4)
+    plan = solid._get_bsb_plan()
+    blocks = bsb.bsb_fill(plan, [op.J_cells, op.J_facets])
+    A = np.asarray(solid.jac_u_dense(s0["u"], s0, ctrl, sprop, 1e-4))
+
+    for n_dev in (2, 4):
+        mesh = _mesh(n_dev)
+        fac, d = spike_shard.sharded_spike_factor(plan, blocks, mesh)
+        rng = np.random.default_rng(0)
+        r = jnp.asarray(rng.standard_normal(solid.ndof))
+        x = np.asarray(spike_shard.sharded_spike_solve(plan, fac, d, r, mesh))
+        xr = np.linalg.solve(A, np.asarray(r))
+        np.testing.assert_allclose(x, xr, rtol=1e-8, atol=1e-10)
+        xt = np.asarray(
+            spike_shard.sharded_spike_solve(
+                plan, fac, d, r, mesh, transpose=True
+            )
+        )
+        np.testing.assert_allclose(
+            xt, np.linalg.solve(A.T, np.asarray(r)), rtol=1e-8, atol=1e-10
+        )
+
+
+@pytest.mark.parametrize("n_dev", [4, 8])
+def test_dd_integrate_matches_single_device(n_dev):
+    """The fully sharded time loop (assembly + SPIKE + fluid exchange all
+    inside one shard_map) reproduces the single-device trajectory over
+    50+ coupled steps to ~1e-10."""
+    from vf_fem_tpu.parallel.ddstep import DDIntegrator
+
+    model = _make_model()
+    state0 = {k: np.zeros_like(np.asarray(v))
+              for k, v in model.state0.sub_items()}
+    cs = forward._stack_controls(model, [model.control])
+    pd = model.prop_to_dict(model.prop)
+    times = np.asarray(5e-5 * np.arange(53))
+
+    fin_ref, traj_ref, _ = forward.integrate_pure(
+        model, state0, cs, pd, times, {"jacobian_refresh_steps": 1}
+    )
+
+    dd = DDIntegrator(
+        model, _mesh(n_dev), params={"jacobian_refresh_steps": 8}
+    )
+    fin, traj, infos = dd.integrate_pure(state0, cs, pd, times)
+
+    u_ref = np.asarray(traj_ref["u"])
+    u_dd = np.asarray(traj["u"])
+    scale = np.abs(u_ref).max()
+    assert np.abs(u_dd - u_ref).max() < 1e-10 * max(scale, 1e-30)
+    np.testing.assert_allclose(
+        np.asarray(traj["q"]), np.asarray(traj_ref["q"]),
+        rtol=1e-9, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fin["u"]), np.asarray(fin_ref["u"]),
+        rtol=1e-9, atol=1e-14,
+    )
+    assert np.all(np.isfinite(np.asarray(infos.abs_err)))
+
+
+def test_dd_adjoint_matches_single_device():
+    """Gradients through the sharded loop (IFT custom_vjp with the
+    transposed sharded SPIKE solve) match the single-device adjoint."""
+    from vf_fem_tpu.parallel.ddstep import DDIntegrator
+
+    model = _make_model()
+    state0 = {k: np.zeros_like(np.asarray(v))
+              for k, v in model.state0.sub_items()}
+    cs = forward._stack_controls(model, [model.control])
+    pd = model.prop_to_dict(model.prop)
+    times = np.asarray(5e-5 * np.arange(9))
+
+    dd = DDIntegrator(
+        model, _mesh(4), params={"jacobian_refresh_steps": 4},
+        use_remat=True,
+    )
+
+    def loss_dd(p):
+        fin, traj, _ = dd.integrate_pure(state0, cs, p, times)
+        return jnp.sum(fin["u"] ** 2) * 1e4 + 1e-6 * jnp.sum(
+            traj["q"] ** 2
+        )
+
+    def loss_ref(p):
+        fin, traj, _ = forward.integrate_pure(
+            model, state0, cs, p, times, {"jacobian_refresh_steps": 1},
+            use_remat=True,
+        )
+        return jnp.sum(fin["u"] ** 2) * 1e4 + 1e-6 * jnp.sum(
+            traj["q"] ** 2
+        )
+
+    v_dd, g_dd = jax.value_and_grad(loss_dd)(pd)
+    v_rf, g_rf = jax.value_and_grad(loss_ref)(pd)
+    np.testing.assert_allclose(float(v_dd), float(v_rf), rtol=1e-10)
+    # agreement bounded by the reverse-sweep refinement tolerance (1e-8
+    # relative residual), not machine precision
+    g_scale = float(np.abs(np.asarray(g_rf["emod"])).max())
+    np.testing.assert_allclose(
+        np.asarray(g_dd["emod"]), np.asarray(g_rf["emod"]),
+        rtol=1e-4, atol=1e-7 * g_scale,
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_dd["ymid"]), np.asarray(g_rf["ymid"]), rtol=1e-6
+    )

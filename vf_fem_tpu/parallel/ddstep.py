@@ -1,0 +1,838 @@
+"""
+DOF-sharded end-to-end transient FSI integration (domain decomposition).
+
+Everything the single-chip integrator does — element assembly, banded
+Jacobian fill, direct factorization, chord Newton, the 1D fluid
+exchange, the whole ``lax.scan`` time loop, and the IFT adjoint — runs
+inside ONE ``shard_map`` program with the solid DOF axis partitioned in
+contiguous slabs over the device mesh:
+
+- **Partitioning**: after RCM renumbering, block-rows group into
+  ``Bt``-sized super-blocks (``solvers.bsb``/``btd``); each device owns
+  ``m`` consecutive super-rows.  Cells are assigned to the slab of their
+  minimum DOF; since the matrix bandwidth is at most ``Bt``, a cell's
+  support spills at most ``Bt`` DOFs into the next slab — a fixed-width
+  right halo.
+- **Assembly**: per-slab element kernels (the same per-element closures
+  as ``models.transient.SolidModel.jac_u_blocks``); gathers read the
+  local slab plus one ``ppermute`` halo, scatters accumulate locally and
+  ``ppermute``-add the spilled tail to the next device.
+- **Linear algebra**: the banded slab is filled locally, equilibrated
+  with neighbor scale halos, and factored by the distributed SPIKE
+  solver (``parallel.spike_shard``) — local Thomas + spikes, replicated
+  2S-block reduced system.  Solves communicate one ``all_gather`` of
+  ``2 Bt`` interface values.
+- **FSI exchange**: the 1D fluid is tiny; per-slab surface-area
+  contributions are ``psum``-ed and the Bernoulli solve runs replicated,
+  exactly reproducing the single-chip coupling.
+- **Adjoint**: each Newton solve carries a ``custom_vjp`` IFT rule whose
+  transposed solve is the sharded SPIKE transpose with stale-factor
+  iterative refinement (the sharded analog of
+  ``models.transient.solve_u1_stale_bwd``).
+
+The reference cannot do any of this — it is explicitly single-process
+(reference ``src/femvf/models/fsi.py:38-39``); this module is what lets
+a mesh that outgrows one chip's HBM run the *production* direct-solver
+path across a TPU pod slice.
+
+Supported model: ``ExplicitFSIModel`` (the flagship path) on an
+RCM-renumbered mesh without shape (``umesh``) parameters.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from types import SimpleNamespace
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from ..equations import newmark
+from ..solvers.btd import _btd_from_bsb
+from ..solvers.newton import newton_solve, SolveInfo
+from ..models.transient import _params_key
+from . import spike_shard as ss
+
+__all__ = ["DDPlan", "plan_dd", "DDIntegrator"]
+
+
+class DDPlan(NamedTuple):
+    """Host-built static plan for the sharded step (all numpy)."""
+
+    S: int
+    b: int
+    h: int
+    Bt: int
+    m: int  # super-rows per slab
+    nblk_loc: int
+    ndof_loc: int
+    ndof: int
+    ndof_pad: int
+    nvert: int
+    dim: int
+    n_fl: int
+    nv: int
+    nld: int
+    flat_size: int  # local band scatter size (nblk_loc+h)*nb*b*b
+    # per-slab static arrays (leading S axis; sharded into the program)
+    cells: np.ndarray  # (S, ncm, nv) global vertex ids
+    cell_ids: np.ndarray  # (S, ncm) global cell ids (dg0 coefficients)
+    cell_dofs_loc: np.ndarray  # (S, ncm, nld) slab-local dof indices
+    cell_mask: np.ndarray  # (S, ncm)
+    Xe_c: np.ndarray  # (S, ncm, nv, dim) cell vertex coordinates
+    fcv: np.ndarray  # (S, nfm, nv) facet-cell vertex ids
+    f_ids: np.ndarray  # (S, nfm) facet-cell global cell ids
+    facet_dofs_loc: np.ndarray  # (S, nfm, nld)
+    facet_mask: np.ndarray  # (S, nfm)
+    facet_sel: np.ndarray  # (S, nfm, nv, dimf)
+    facet_opp_sel: np.ndarray  # (S, nfm, nv)
+    Xe_f: np.ndarray  # (S, nfm, nv, dim)
+    bc_mask_loc: np.ndarray  # (S, ndof_loc)
+    fill_tgt: np.ndarray  # (S, n_src) int32, dump slot = flat_size
+    diag_idx: np.ndarray  # (S, n_diag) int32, dump slot = flat_size
+    col_idx: np.ndarray  # (nblk_loc, nb) shared column-scale block index
+    fl_idx: np.ndarray  # (S, nflm) fluid dof owned (dump = n_fl)
+    fl_udof: np.ndarray  # (S, nflm) local dof of the y displacement
+    fl_y: np.ndarray  # (S, nflm) reference y coordinate
+    fl_mask: np.ndarray  # (S, nflm)
+
+
+def _pad_groups(idx_lists, pad_value_fn, max_len=None):
+    """Pad per-slab index lists to equal length; empty slabs get one
+    masked entry from ``pad_value_fn(s)``."""
+    n = max(max(len(g) for g in idx_lists), 1)
+    if max_len is not None:
+        n = max(n, max_len)
+    out, mask = [], []
+    for s, g in enumerate(idx_lists):
+        g = list(g)
+        msk = [1.0] * len(g)
+        while len(g) < n:
+            g.append(pad_value_fn(s, g))
+            msk.append(0.0)
+        out.append(g)
+        mask.append(msk)
+    return np.asarray(out), np.asarray(mask)
+
+
+def plan_dd(model, n_shards: int) -> DDPlan:
+    """Partition an ``ExplicitFSIModel`` over ``n_shards`` DOF slabs."""
+    solid = model.solid
+    R = solid._residual
+    topo = R.topology
+    bsbp = solid._get_bsb_plan()
+    b, h, nb = bsbp.b, bsbp.h, bsbp.nb
+    ndof, nblk = solid.ndof, bsbp.nblk
+    S = int(n_shards)
+    n_sup = -(-nblk // h)
+    m = -(-n_sup // S)
+    assert m >= 1
+    nblk_loc = m * h
+    ndof_loc = nblk_loc * b
+    ndof_pad = S * ndof_loc
+    Bt = h * b
+    dim, nvert = solid.dim, solid.nvert
+    cells = np.asarray(topo.cells)
+    nc, nv = cells.shape
+    nld = nv * dim
+    cdofs = np.asarray(solid._cell_dofs)
+    fcells = np.asarray(topo.facet_cells)
+    fdofs = np.asarray(solid._facet_cell_dofs)
+    nf = fcells.shape[0]
+    Xref = np.asarray(solid._Xref)
+
+    bc = np.zeros(ndof_pad, dtype=bool)
+    bc[np.asarray(R.bc_dofs)] = True
+    bc[ndof:] = True  # global padding rows are identity rows
+
+    # --- element -> slab assignment by minimum dof --------------------------
+    def check_and_assign(darr):
+        s = darr.min(axis=1) // ndof_loc
+        spill = darr.max(axis=1) - s * ndof_loc
+        assert (spill < ndof_loc + Bt).all(), (
+            "element support exceeds one halo width; mesh bandwidth"
+            " inconsistent with the slab size (reduce n_shards)"
+        )
+        return s
+
+    sc = check_and_assign(cdofs) if nc else np.zeros(0, int)
+    sf = check_and_assign(fdofs) if nf else np.zeros(0, int)
+
+    cell_groups = [np.nonzero(sc == s)[0] for s in range(S)]
+    facet_groups = [np.nonzero(sf == s)[0] for s in range(S)]
+    pad_c = lambda s, g: g[0] if g else 0
+    pad_f = lambda s, g: g[0] if g else 0
+    cell_ids, cell_mask = _pad_groups(cell_groups, pad_c)
+    f_sel_ids, facet_mask = _pad_groups(facet_groups, pad_f)
+    ncm, nfm = cell_ids.shape[1], f_sel_ids.shape[1]
+
+    def loc_dofs(ids, mask, darr, s):
+        d = darr[ids] - s * ndof_loc
+        # padding entries may index elements of other slabs (empty-slab
+        # fallback): clamp into the valid gather range; masked anyway
+        return np.clip(d, 0, ndof_loc + Bt - 1)
+
+    cell_dofs_loc = np.stack(
+        [loc_dofs(cell_ids[s], cell_mask[s], cdofs, s) for s in range(S)]
+    )
+    facet_dofs_loc = np.stack(
+        [loc_dofs(f_sel_ids[s], facet_mask[s], fdofs, s) for s in range(S)]
+    )
+
+    cells_s = cells[cell_ids]  # (S, ncm, nv)
+    Xe_c = Xref[cells_s]
+    fcv = cells[fcells][f_sel_ids] if nf else np.zeros(
+        (S, nfm, nv), dtype=cells.dtype
+    )
+    Xe_f = Xref[fcv]
+    facet_sel = np.asarray(topo.facet_sel)[f_sel_ids]
+    facet_opp_sel = np.asarray(topo.facet_opp_sel)[f_sel_ids]
+    f_cell_ids = fcells[f_sel_ids]
+
+    bc_mask_loc = bc.reshape(S, ndof_loc).astype(np.float64)
+
+    # --- banded fill targets (slab-local band + h spill block-rows) ---------
+    flat_size = (nblk_loc + h) * nb * b * b
+
+    def fill_targets(ids, mask, darr, s):
+        d = darr[ids]  # (ne, nld) global dofs
+        rows = np.broadcast_to(d[:, :, None], d.shape + (nld,))
+        cols = np.broadcast_to(d[:, None, :], d.shape + (nld,))
+        r_loc = rows - s * ndof_loc
+        blk_r = r_loc // b
+        mband = cols // b - rows // b + h
+        tgt = ((blk_r * nb + mband) * b + rows % b) * b + cols % b
+        drop = bc[rows] | (mask[:, None, None] == 0.0)
+        return np.where(drop, flat_size, tgt).reshape(ids.shape[0], -1)
+
+    fill_tgt = np.stack(
+        [
+            np.concatenate(
+                [
+                    fill_targets(
+                        cell_ids[s], cell_mask[s], cdofs, s
+                    ).reshape(-1),
+                    fill_targets(
+                        f_sel_ids[s], facet_mask[s], fdofs, s
+                    ).reshape(-1),
+                ]
+            )
+            for s in range(S)
+        ]
+    ).astype(np.int32)
+
+    # identity diagonal for BC + padding rows
+    diag_lists = []
+    for s in range(S):
+        r = np.nonzero(bc[s * ndof_loc : (s + 1) * ndof_loc])[0]
+        tgt = (((r // b) * nb + h) * b + r % b) * b + r % b
+        diag_lists.append(list(tgt))
+    diag_idx, _ = _pad_groups(diag_lists, lambda s, g: flat_size)
+    # padded entries must dump, not duplicate a real target
+    for s in range(S):
+        nreal = len(diag_lists[s])
+        diag_idx[s, nreal:] = flat_size
+    diag_idx = diag_idx.astype(np.int32)
+
+    col_idx = (
+        np.arange(nblk_loc)[:, None] + np.arange(nb)[None, :]
+    ).astype(np.int32)
+
+    # --- fluid interface ownership (by the y-displacement dof) -------------
+    sdofs = np.asarray(model._solid_dofs)
+    fdofs_fl = np.asarray(model._fluid_dofs)
+    n_fl = model.fsimap.N_FLUID
+    own = [[] for _ in range(S)]
+    for vk, fk in zip(sdofs, fdofs_fl):
+        ydof = vk * dim + 1
+        s = ydof // ndof_loc
+        own[s].append((int(fk), int(ydof - s * ndof_loc), float(Xref[vk, 1])))
+    fl_lists = [[t[0] for t in g] for g in own]
+    fl_idx, fl_mask = _pad_groups(fl_lists, lambda s, g: n_fl)
+    nflm = fl_idx.shape[1]
+    fl_udof = np.zeros((S, nflm), dtype=np.int32)
+    fl_y = np.zeros((S, nflm))
+    for s in range(S):
+        for k, t in enumerate(own[s]):
+            fl_udof[s, k] = t[1]
+            fl_y[s, k] = t[2]
+    # padded fl_idx entries point at the dump slot
+    for s in range(S):
+        fl_idx[s, len(own[s]) :] = n_fl
+    fl_idx = fl_idx.astype(np.int32)
+
+    return DDPlan(
+        S=S, b=b, h=h, Bt=Bt, m=m, nblk_loc=nblk_loc, ndof_loc=ndof_loc,
+        ndof=ndof, ndof_pad=ndof_pad, nvert=nvert, dim=dim, n_fl=n_fl,
+        nv=nv, nld=nld, flat_size=flat_size,
+        cells=cells_s.astype(np.int32),
+        cell_ids=cell_ids.astype(np.int32),
+        cell_dofs_loc=cell_dofs_loc.astype(np.int32),
+        cell_mask=cell_mask,
+        Xe_c=Xe_c,
+        fcv=fcv.astype(np.int32),
+        f_ids=f_cell_ids.astype(np.int32),
+        facet_dofs_loc=facet_dofs_loc.astype(np.int32),
+        facet_mask=facet_mask,
+        facet_sel=facet_sel,
+        facet_opp_sel=facet_opp_sel,
+        Xe_f=Xe_f,
+        bc_mask_loc=bc_mask_loc,
+        fill_tgt=fill_tgt,
+        diag_idx=diag_idx,
+        col_idx=col_idx,
+        fl_idx=fl_idx,
+        fl_udof=fl_udof,
+        fl_y=fl_y,
+        fl_mask=fl_mask,
+    )
+
+
+class DDIntegrator:
+    """Sharded transient integration of an ``ExplicitFSIModel``.
+
+    ``integrate_pure(state0, controls_stacked, prop, times)`` mirrors
+    :func:`vf_fem_tpu.forward.integrate_pure` (global in/out arrays,
+    differentiable) but runs the whole loop DOF-sharded over ``mesh``.
+    """
+
+    def __init__(
+        self,
+        model,
+        mesh: Mesh,
+        params: Optional[dict] = None,
+        axis: str = "shard",
+        use_remat: bool = False,
+    ):
+        assert not model.solid._has_shape, (
+            "DD stepping does not support shape (umesh) parameters"
+        )
+        self.model = model
+        self.mesh = mesh
+        self.axis = axis
+        self.use_remat = use_remat
+        self.params = dict(_params_key(params))
+        self.plan = plan_dd(model, mesh.devices.size)
+        self._fn_cache = {}
+
+    # ------------------------------------------------------------------
+    def _pst(self):
+        """The sharded static-plan pytree + its PartitionSpec tree."""
+        p = self.plan
+        arrs = dict(
+            cells=p.cells, cell_ids=p.cell_ids,
+            cell_dofs_loc=p.cell_dofs_loc, cell_mask=p.cell_mask,
+            Xe_c=p.Xe_c, fcv=p.fcv, f_ids=p.f_ids,
+            facet_dofs_loc=p.facet_dofs_loc, facet_mask=p.facet_mask,
+            facet_sel=p.facet_sel, facet_opp_sel=p.facet_opp_sel,
+            Xe_f=p.Xe_f, bc_mask_loc=p.bc_mask_loc, fill_tgt=p.fill_tgt,
+            diag_idx=p.diag_idx, fl_idx=p.fl_idx, fl_udof=p.fl_udof,
+            fl_y=p.fl_y, fl_mask=p.fl_mask,
+        )
+        specs = {k: P(self.axis) for k in arrs}
+        return {k: jnp.asarray(v) for k, v in arrs.items()}, specs
+
+    # ------------------------------------------------------------------
+    def _build(self, n_controls: int, n_steps: int):
+        plan = self.plan
+        model = self.model
+        solid = model.solid
+        fluid = model.fluid
+        R = solid._residual
+        topo = R.topology
+        spec = R.coefficient_spec
+        has_contact = solid._has_contact
+        has_p1 = solid._has_p1
+        axis = self.axis
+        params_d = dict(self.params)
+        S, Bt, b, h = plan.S, plan.Bt, plan.b, plan.h
+        nb = 2 * h + 1
+        m, nblk_loc, ndof_loc = plan.m, plan.nblk_loc, plan.ndof_loc
+        nv, nld, dim, nvert = plan.nv, plan.nld, plan.dim, plan.nvert
+        n_fl = plan.n_fl
+        cell_elem = R.cell_elem_fn()
+        facet_elem = R.facet_elem_fn()
+        solid_keys = model._solid_prop_keys
+        fluid_keys = model._fluid_prop_keys
+        control_keys = model._control_keys
+        sdofs = np.asarray(model._solid_dofs)
+        fdofs = np.asarray(model._fluid_dofs)
+        col_idx = jnp.asarray(plan.col_idx)
+        K = int(params_d.get("jacobian_refresh_steps", 1))
+        store_dtype = params_d.get("btd_store_dtype")
+
+        shim = SimpleNamespace(b=b, h=h, nb=nb, nblk=nblk_loc)
+
+        # ---- collectives ------------------------------------------------
+        fwd_perm = [(i, i + 1) for i in range(S - 1)]
+        bwd_perm = [(i + 1, i) for i in range(S - 1)]
+
+        def halo_right(x):
+            """Receive the first ``n`` entries of the next device."""
+            return jax.lax.ppermute(x[:Bt], axis, bwd_perm)
+
+        def spill_add(buf):
+            """buf: (ndof_loc + Bt,); ship the tail to the next device and
+            absorb the previous device's spill into the head."""
+            recv = jax.lax.ppermute(buf[ndof_loc:], axis, fwd_perm)
+            return buf[:ndof_loc].at[:Bt].add(recv)
+
+        def pnorm(v):
+            return jnp.sqrt(jax.lax.psum(jnp.sum(v * v), axis))
+
+        # ---- per-element closures (mirror SolidModel.jac_u_blocks) ------
+        def cell_fn(dt):
+            def f(u1_e, Xe, s0_e, local):
+                u0_e, v0_e, a0_e = s0_e
+                loc = dict(local)
+                loc["state/u1"] = u1_e
+                loc["state/v1"] = newmark.newmark_v(u1_e, u0_e, v0_e, a0_e, dt)
+                loc["state/a1"] = newmark.newmark_a(u1_e, u0_e, v0_e, a0_e, dt)
+                return cell_elem(Xe, loc)
+
+            return f
+
+        def facet_fn(dt):
+            def f(u1_e, Xe, sel, opp_sel, s0_e, local):
+                u0_e, v0_e, a0_e = s0_e
+                loc = dict(local)
+                loc["state/u1"] = u1_e
+                loc["state/v1"] = newmark.newmark_v(u1_e, u0_e, v0_e, a0_e, dt)
+                loc["state/a1"] = newmark.newmark_a(u1_e, u0_e, v0_e, a0_e, dt)
+                if has_contact:
+                    n = loc["prop/ncontact"]
+                    y = loc["prop/ycontact"]
+                    y = y[0] if jnp.ndim(y) > 0 else y
+                    k = loc["prop/kcontact"]
+                    k = k[0] if jnp.ndim(k) > 0 else k
+                    gap = (Xe + u1_e) @ n - y
+                    loc["control/tcontact"] = (
+                        -(k * jnp.maximum(gap, 0.0) ** 3)[:, None] * n
+                    )
+                return facet_elem(Xe, sel, opp_sel, loc)
+
+            return f
+
+        def gather_locals(pst, fields, facet):
+            """Per-slab coefficient locals (skips state/tcontact — those
+            are overridden per element)."""
+            verts = pst["fcv"][0] if facet else pst["cells"][0]
+            ids = pst["f_ids"][0] if facet else pst["cell_ids"][0]
+            local, axes = {}, {}
+            for key, sp_ in spec.items():
+                if key.startswith("state/") or key == "control/tcontact":
+                    continue
+                arr = fields[key]
+                if sp_.space in ("cg1_vector", "cg1_scalar"):
+                    local[key] = arr[verts]
+                    axes[key] = 0
+                elif sp_.space == "dg0_scalar":
+                    local[key] = arr[ids]
+                    axes[key] = 0
+                else:
+                    local[key] = (
+                        arr[0] if sp_.space == "const_scalar" else arr
+                    )
+                    axes[key] = None
+            return local, axes
+
+        def make_fields(prop_s, p1):
+            fields = dict(solid._prop_fields(prop_s))
+            if has_p1:
+                fields["control/p1"] = p1
+            return fields
+
+        def _elem_inputs(pst, u_ext, ext0, facet):
+            cd = pst["facet_dofs_loc" if facet else "cell_dofs_loc"][0]
+            ue = u_ext[cd].reshape(-1, nv, dim)
+            s0 = tuple(x[cd].reshape(-1, nv, dim) for x in ext0)
+            return cd, ue, s0
+
+        # ---- residual ----------------------------------------------------
+        def res_loc(pst, u1_loc, ext0, p1, prop_s, dt):
+            u1_ext = jnp.concatenate([u1_loc, halo_right(u1_loc)])
+            fields = make_fields(prop_s, p1)
+
+            cd, u1_e, s0_e = _elem_inputs(pst, u1_ext, ext0, facet=False)
+            local_c, axes_c = gather_locals(pst, fields, facet=False)
+            res_c = jax.vmap(cell_fn(dt), in_axes=(0, 0, 0, axes_c))(
+                u1_e, pst["Xe_c"][0], s0_e, local_c
+            )
+            res_c = res_c * pst["cell_mask"][0][:, None, None]
+            # (ne, nv, dim) flattens onto (ne, nld) local dofs (vertex-major
+            # interleaved, matching assembly.cell_dof_array)
+            buf = jax.ops.segment_sum(
+                res_c.reshape(-1),
+                cd.reshape(-1),
+                num_segments=ndof_loc + Bt,
+            )
+
+            fd, u1_f, s0_f = _elem_inputs(pst, u1_ext, ext0, facet=True)
+            local_f, axes_f = gather_locals(pst, fields, facet=True)
+            res_f = jax.vmap(
+                facet_fn(dt), in_axes=(0, 0, 0, 0, 0, axes_f)
+            )(
+                u1_f, pst["Xe_f"][0], pst["facet_sel"][0],
+                pst["facet_opp_sel"][0], s0_f, local_f,
+            )
+            res_f = res_f * pst["facet_mask"][0][:, None, None]
+            buf = buf + jax.ops.segment_sum(
+                res_f.reshape(-1),
+                fd.reshape(-1),
+                num_segments=ndof_loc + Bt,
+            )
+
+            r = spill_add(buf)
+            bcm = pst["bc_mask_loc"][0]
+            return r * (1.0 - bcm) + u1_loc * bcm
+
+        # ---- banded fill + SPIKE factorization ---------------------------
+        def factorize_loc(pst, ext0, p1, prop_s, dt):
+            u_lin_ext = (
+                ext0[0] + dt * ext0[1] + 0.5 * dt * dt * ext0[2]
+            )
+            fields = make_fields(prop_s, p1)
+            cd, u1_e, s0_e = _elem_inputs(pst, u_lin_ext, ext0, False)
+            local_c, axes_c = gather_locals(pst, fields, False)
+            Jc = jax.vmap(
+                jax.jacfwd(cell_fn(dt)), in_axes=(0, 0, 0, axes_c)
+            )(u1_e, pst["Xe_c"][0], s0_e, local_c).reshape(-1, nld, nld)
+            Jc = Jc * pst["cell_mask"][0][:, None, None]
+
+            fdl, u1_f, s0_f = _elem_inputs(pst, u_lin_ext, ext0, True)
+            local_f, axes_f = gather_locals(pst, fields, True)
+            Jf = jax.vmap(
+                jax.jacfwd(facet_fn(dt)),
+                in_axes=(0, 0, 0, 0, 0, axes_f),
+            )(
+                u1_f, pst["Xe_f"][0], pst["facet_sel"][0],
+                pst["facet_opp_sel"][0], s0_f, local_f,
+            ).reshape(-1, nld, nld)
+            Jf = Jf * pst["facet_mask"][0][:, None, None]
+
+            src = jnp.concatenate([Jc.reshape(-1), Jf.reshape(-1)])
+            flat = jnp.zeros(plan.flat_size + 1, src.dtype)
+            flat = flat.at[pst["fill_tgt"][0]].add(src)
+            flat = flat.at[pst["diag_idx"][0]].add(1.0)
+            band = flat[: plan.flat_size].reshape(
+                nblk_loc + h, nb, b, b
+            )
+            # absorb the previous slab's spilled block-rows
+            recv = jax.lax.ppermute(band[nblk_loc:], axis, fwd_perm)
+            band = band[:nblk_loc].at[:h].add(recv)
+
+            # symmetric Jacobi equilibration with neighbor scale halos
+            diag = jnp.diagonal(band[:, h], axis1=1, axis2=2)
+            d_loc = jnp.sqrt(jnp.abs(diag) + 1e-30).reshape(-1)
+            d_left = jax.lax.ppermute(d_loc[-h * b :], axis, fwd_perm)
+            d_rght = jax.lax.ppermute(d_loc[: h * b], axis, bwd_perm)
+            d_ext = jnp.concatenate([d_left, d_loc, d_rght])
+            d_ext = jnp.where(d_ext == 0.0, 1.0, d_ext)
+            dr = d_loc.reshape(nblk_loc, b)
+            dc = d_ext.reshape(nblk_loc + 2 * h, b)[col_idx]
+            band = band / dr[:, None, :, None] / dc[:, :, None, :]
+
+            D, L, U, n_sup_l, pad_l = _btd_from_bsb(shim, band)
+            assert n_sup_l == m and pad_l == 0
+            D = D[None]
+            L = L[None]
+            U = U[None]
+            B = L[:, 0]
+            C = U[:, m - 1]
+            L = L.at[:, 0].set(0.0)
+            U = U.at[:, m - 1].set(0.0)
+            fac = ss.spike_factor_local(D, L, U, B, C, axis, S)
+            if store_dtype is not None:
+                cast = lambda a: a.astype(store_dtype)
+                fac = fac._replace(
+                    Sinv=cast(fac.Sinv), L=cast(fac.L), U=cast(fac.U),
+                    V=cast(fac.V), W=cast(fac.W),
+                    Vh=cast(fac.Vh), Wh=cast(fac.Wh),
+                )
+            return fac, d_loc
+
+        def spike_apply(fac, d_loc, r, transpose=False):
+            rb = (r / d_loc).reshape(1, m, Bt)
+            f = ss.spike_solve_t_local if transpose else ss.spike_solve_local
+            x = f(fac, rb, axis)
+            return x.reshape(-1) / d_loc
+
+        # ---- chord Newton with IFT custom_vjp ----------------------------
+        def _newton(pst, u_guess, fac, d_loc, ext0, p1, prop_s, dt):
+            def assem(u1):
+                return res_loc(pst, u1, ext0, p1, prop_s, dt)
+
+            def solve_jac(u1, r):
+                return spike_apply(fac, d_loc, r)
+
+            return newton_solve(
+                u_guess, assem, solve_jac, params_d, norm_fn=pnorm
+            )
+
+        @partial(jax.custom_vjp, nondiff_argnums=(0,))
+        def solve_u1_dd(pst_keys, u_guess, fac_d, pst_vals, ext0, p1,
+                        prop_s, dt):
+            pst = dict(zip(pst_keys, pst_vals))
+            fac, d_loc = fac_d
+            return _newton(pst, u_guess, fac, d_loc, ext0, p1, prop_s, dt)
+
+        def solve_u1_dd_fwd(pst_keys, u_guess, fac_d, pst_vals, ext0, p1,
+                            prop_s, dt):
+            out = solve_u1_dd(
+                pst_keys, u_guess, fac_d, pst_vals, ext0, p1, prop_s, dt
+            )
+            u1, info = out
+            return out, (u1, fac_d, pst_vals, ext0, p1, prop_s, dt)
+
+        def solve_u1_dd_bwd(pst_keys, saved, cts):
+            u1, fac_d, pst_vals, ext0, p1, prop_s, dt = saved
+            u1_bar, _ = cts
+            pst = dict(zip(pst_keys, pst_vals))
+            fac, d_loc = fac_d
+
+            _, u_vjp = jax.vjp(
+                lambda u: res_loc(pst, u, ext0, p1, prop_s, dt), u1
+            )
+
+            def JT(v):
+                return u_vjp(v)[0]
+
+            def Mt(r):
+                return spike_apply(fac, d_loc, r, transpose=True)
+
+            # stale-factor iterative refinement (sharded analog of
+            # transient.refined_adjoint_solve; norms psum-replicated)
+            tol = params_d.get("adjoint_refine_tol", 1e-8)
+            max_it = int(params_d.get("adjoint_refine_iters", 25))
+            stag = params_d.get("stagnation_ratio", 0.9)
+            bnorm = pnorm(u1_bar)
+            lam = Mt(u1_bar)
+            r = u1_bar - JT(lam)
+            rn = pnorm(r)
+            big = jnp.asarray(jnp.inf, dtype=rn.dtype)
+
+            def cond(carry):
+                lam, r, rn, rn_prev, lam_b, rn_b, k = carry
+                return jnp.logical_and(
+                    jnp.logical_and(rn >= tol * bnorm, rn < stag * rn_prev),
+                    k < max_it,
+                )
+
+            def body(carry):
+                lam, r, rn, rn_prev, lam_b, rn_b, k = carry
+                lam = lam + Mt(r)
+                r = u1_bar - JT(lam)
+                rn_new = pnorm(r)
+                better = rn_new < rn_b
+                lam_b = jnp.where(better, lam, lam_b)
+                rn_b = jnp.where(better, rn_new, rn_b)
+                return (lam, r, rn_new, rn, lam_b, rn_b, k + 1)
+
+            lam = jax.lax.while_loop(
+                cond, body, (lam, r, rn, big, lam, rn, 0)
+            )[4]
+
+            _, t_vjp = jax.vjp(
+                lambda e0, p1_, pr, t: res_loc(pst, u1, e0, p1_, pr, t),
+                ext0, p1, prop_s, dt,
+            )
+            g_ext0, g_p1, g_prop, g_dt = t_vjp(-lam)
+
+            def zero_ct(x):
+                # integer/bool plan arrays take float0 cotangents
+                if not jnp.issubdtype(x.dtype, jnp.floating):
+                    return np.zeros(x.shape, dtype=jax.dtypes.float0)
+                return jnp.zeros_like(x)
+
+            z = jax.tree_util.tree_map
+            return (
+                jnp.zeros_like(u1),
+                z(zero_ct, fac_d),
+                z(zero_ct, tuple(pst_vals)),
+                g_ext0, g_p1, g_prop, g_dt,
+            )
+
+        solve_u1_dd.defvjp(solve_u1_dd_fwd, solve_u1_dd_bwd)
+
+        # ---- coupled step -------------------------------------------------
+        def pressure_to_solid(p_fl):
+            out = jnp.zeros((nvert,), dtype=p_fl.dtype)
+            return out.at[jnp.asarray(sdofs)].set(p_fl[jnp.asarray(fdofs)])
+
+        def step_loc(pst, state, fac_d, control, prop, dt):
+            prop_s = {k: prop[k] for k in solid_keys}
+            prop_f = {k: prop[k] for k in fluid_keys}
+            p1 = pressure_to_solid(state["p"])
+            ext0 = tuple(
+                jnp.concatenate([state[k], halo_right(state[k])])
+                for k in ("u", "v", "a")
+            )
+            u_guess = (
+                state["u"] + dt * state["v"] + 0.5 * dt * dt * state["a"]
+            )
+            pst_keys = tuple(sorted(pst))
+            pst_vals = tuple(pst[k] for k in pst_keys)
+            u1, info = solve_u1_dd(
+                pst_keys, u_guess, fac_d, pst_vals, ext0, p1, prop_s, dt
+            )
+            v1 = newmark.newmark_v(
+                u1, state["u"], state["v"], state["a"], dt
+            )
+            a1 = newmark.newmark_a(
+                u1, state["u"], state["v"], state["a"], dt
+            )
+
+            # fluid exchange: psum'd surface area, replicated 1D solve
+            ymid = prop["ymid"][0]
+            vals = (
+                2.0 * (ymid - pst["fl_y"][0] - u1[pst["fl_udof"][0]])
+            ) * pst["fl_mask"][0]
+            contrib = jnp.zeros(n_fl + 1, u1.dtype).at[
+                pst["fl_idx"][0]
+            ].add(vals)
+            area = jax.lax.psum(contrib[:n_fl], axis)
+            fl_control = {"area": area}
+            fl_control.update({k: control[k] for k in control_keys})
+            qp1 = fluid.solve_pure(
+                fl_control, prop_f, {"q": state["q"], "p": state["p"]}
+            )
+            return {"u": u1, "v": v1, "a": a1, **qp1}, info
+
+        def factorize_step(pst, state, control, prop, dt):
+            prop_s = {k: prop[k] for k in solid_keys}
+            p1 = pressure_to_solid(state["p"])
+            ext0 = tuple(
+                jnp.concatenate([state[k], halo_right(state[k])])
+                for k in ("u", "v", "a")
+            )
+            return factorize_loc(pst, ext0, p1, prop_s, dt)
+
+        if self.use_remat:
+            step_loc = jax.checkpoint(step_loc, static_argnums=())
+
+        # ---- scanned window loop -----------------------------------------
+        def program(pst, state0, controls_stacked, prop, times):
+            dts = jnp.diff(times)
+
+            def control_at(n):
+                idx = jnp.minimum(n, n_controls - 1)
+                return jax.tree_util.tree_map(
+                    lambda a: a[idx], controls_stacked
+                )
+
+            def inner(state, fac_d, dts_w, n0):
+                def body(carry, xs):
+                    dt, n = xs
+                    s1, info = step_loc(
+                        pst, carry, fac_d, control_at(n), prop, dt
+                    )
+                    return s1, (s1, info)
+
+                return jax.lax.scan(
+                    body, state,
+                    (dts_w, n0 + jnp.arange(dts_w.shape[0])),
+                )
+
+            def window(state, dts_w, n0):
+                fac_d = factorize_step(
+                    pst, state, control_at(n0), prop, dts_w[0]
+                )
+                return inner(state, fac_d, dts_w, n0)
+
+            n_win = n_steps // K
+            rem = n_steps - n_win * K
+            trajs, infoss = [], []
+            fin = state0
+            if n_win:
+                dts_main = dts[: n_win * K].reshape(n_win, K)
+                n0s = K * jnp.arange(n_win)
+
+                def outer(state, xs):
+                    dts_w, n0 = xs
+                    return window(state, dts_w, n0)
+
+                fin, (traj, infos) = jax.lax.scan(
+                    outer, fin, (dts_main, n0s)
+                )
+                flat = lambda a: a.reshape((-1,) + a.shape[2:])
+                trajs.append(jax.tree_util.tree_map(flat, traj))
+                infoss.append(jax.tree_util.tree_map(flat, infos))
+            if rem:
+                fin, (traj_r, infos_r) = window(
+                    fin, dts[n_win * K :], n_win * K
+                )
+                trajs.append(traj_r)
+                infoss.append(infos_r)
+            cat = (
+                lambda *xs: xs[0]
+                if len(xs) == 1
+                else jnp.concatenate(xs, 0)
+            )
+            traj = jax.tree_util.tree_map(cat, *trajs)
+            infos = jax.tree_util.tree_map(cat, *infoss)
+            return fin, traj, infos
+
+        # ---- shard_map wrapper -------------------------------------------
+        pst_vals, pst_specs = self._pst()
+        axis_ = self.axis
+        state_spec = {
+            "u": P(axis_), "v": P(axis_), "a": P(axis_),
+            "q": P(), "p": P(),
+        }
+        traj_spec = {
+            "u": P(None, axis_), "v": P(None, axis_), "a": P(None, axis_),
+            "q": P(), "p": P(),
+        }
+        info_spec = SolveInfo(num_iter=P(), abs_err=P(), rel_err=P())
+
+        def global_fn(state0, controls_stacked, prop, times):
+            # pad the solid state to the sharded length
+            pad = plan.ndof_pad - plan.ndof
+            s0 = dict(state0)
+            for k in ("u", "v", "a"):
+                s0[k] = jnp.pad(jnp.asarray(state0[k]), (0, pad))
+            ctrl_specs = jax.tree_util.tree_map(
+                lambda _: P(), controls_stacked
+            )
+            prop_specs = jax.tree_util.tree_map(lambda _: P(), prop)
+            fn = shard_map(
+                program,
+                mesh=self.mesh,
+                in_specs=(
+                    pst_specs, state_spec, ctrl_specs, prop_specs, P(),
+                ),
+                out_specs=(state_spec, traj_spec, info_spec),
+            )
+            fin, traj, infos = fn(
+                pst_vals, s0, controls_stacked, prop, times
+            )
+            fin = dict(fin)
+            traj = dict(traj)
+            for k in ("u", "v", "a"):
+                fin[k] = fin[k][: plan.ndof]
+                traj[k] = traj[k][:, : plan.ndof]
+            return fin, traj, infos
+
+        return global_fn
+
+    # ------------------------------------------------------------------
+    def integrate_pure(self, state0, controls_stacked, prop, times):
+        """Sharded analog of ``forward.integrate_pure`` (rev mode)."""
+        times = jnp.asarray(times)
+        n_controls = jax.tree_util.tree_leaves(controls_stacked)[0].shape[0]
+        n_steps = int(times.shape[0]) - 1
+        key = (n_controls, n_steps)
+        if key not in self._fn_cache:
+            self._fn_cache[key] = jax.jit(
+                self._build(n_controls, n_steps)
+            )
+        state0 = {k: jnp.asarray(v) for k, v in state0.items()}
+        return self._fn_cache[key](state0, controls_stacked, prop, times)

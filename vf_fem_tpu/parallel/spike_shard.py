@@ -84,6 +84,18 @@ def _shift_from_next(x, axis: str, S: int):
     return y
 
 
+def _pgather(x, axis: str, S: int):
+    """All-gather with *replicated* result typing: scatter the local
+    block into a zeros-(S, ...) array and ``psum``.  ``jax.lax.
+    all_gather`` outputs are varying-typed under shard_map's replication
+    checker, which would reject the (genuinely replicated) reduced
+    system built from the gathered spike tips; the psum formulation is
+    both replication-typed and equivalent on ICI."""
+    idx = jax.lax.axis_index(axis)
+    buf = jnp.zeros((S,) + x.shape, x.dtype).at[idx].set(x)
+    return jax.lax.psum(buf, axis)
+
+
 def spike_factor_local(D, L, U, B, C, axis: str, S: int) -> ShardedSPIKE:
     """Factor one slab inside ``shard_map``.
 
@@ -103,10 +115,10 @@ def spike_factor_local(D, L, U, B, C, axis: str, S: int) -> ShardedSPIKE:
     )
 
     def reduced(Vl, Wl):
-        # (1, m, Bt, Bt) -> all-gathered 2-row spike-tip stand-ins; the
+        # (1, m, Bt, Bt) -> gathered 2-row spike-tip stand-ins; the
         # reduced builder only reads rows 0 and m-1
-        tips = lambda X: jax.lax.all_gather(
-            jnp.stack([X[0, 0], X[0, -1]], axis=0), axis
+        tips = lambda X: _pgather(
+            jnp.stack([X[0, 0], X[0, -1]], axis=0), axis, S
         )  # (S, 2, Bt, Bt)
         return sp._reduced_factor(tips(Vl), tips(Wl))
 
@@ -121,11 +133,11 @@ def _interface_correct_local(g, red, V, W, axis: str):
     ``shard_map``: one all_gather of the (2 Bt) slab interface values,
     replicated tiny Thomas solve, local correction."""
     _, m, Bt = g.shape
+    S = red[0].shape[0]
     tips = jnp.concatenate([g[0, 0], g[0, m - 1]], axis=-1)  # (2Bt,)
-    rhs = jax.lax.all_gather(tips, axis)  # (S, 2Bt)
+    rhs = _pgather(tips, axis, S)  # (S, 2Bt)
     Sinv_r, L_r, U_r = red
     z = sp._seq_thomas_solve(Sinv_r, L_r, U_r, rhs)  # (S, 2Bt)
-    S = z.shape[0]
     idx = jax.lax.axis_index(axis)
     xt_next = jnp.where(
         idx < S - 1, z[jnp.minimum(idx + 1, S - 1), :Bt], 0.0

@@ -131,7 +131,9 @@ def _local_factor(D, L, U):
         Sinv = jnp.linalg.solve(Sm, eye)
         return Sinv, Sinv
 
-    return _scan_m(body, (D, L, U_prev), jnp.zeros_like(eye))
+    # derive the init from the data so it carries the same varying-axes
+    # type under shard_map (a fresh constant would be replicated-typed)
+    return _scan_m(body, (D, L, U_prev), 0.0 * D[:, 0])
 
 
 def _local_solve(Sinv, L, U, R):
@@ -139,7 +141,7 @@ def _local_solve(Sinv, L, U, R):
 
     ``R``: (S, m, Bt) vector or (S, m, Bt, k) matrix right-hand sides.
     """
-    zero = jnp.zeros(Sinv.shape[:1] + R.shape[2:], R.dtype)
+    zero = 0.0 * R[:, 0]  # data-derived: keeps shard_map varying type
     mv = _bmv if R.ndim == 3 else _bmm
 
     def fwd(y_prev, xs):
@@ -160,7 +162,7 @@ def _local_solve(Sinv, L, U, R):
 def _local_solve_t(Sinv, L, U, R):
     """Per-slab TRANSPOSED Thomas solve ``A_j^T x = r`` (same factors;
     see ``solvers.btd.btd_solve_t`` for the two-sweep identity)."""
-    zero = jnp.zeros(Sinv.shape[:1] + R.shape[2:], R.dtype)
+    zero = 0.0 * R[:, 0]  # data-derived: keeps shard_map varying type
     mvt = _bmv_t if R.ndim == 3 else (
         lambda A, X: _bmm(jnp.swapaxes(A, -1, -2), X)
     )
@@ -223,13 +225,13 @@ def _seq_thomas_factor(D, L, U):
         Sinv = jnp.linalg.solve(Sm, eye)
         return Sinv, Sinv
 
-    _, Sinv = jax.lax.scan(body, jnp.zeros_like(eye), (D, L, U_prev))
+    _, Sinv = jax.lax.scan(body, 0.0 * D[0], (D, L, U_prev))
     return Sinv
 
 
 def _seq_thomas_solve(Sinv, L, U, r):
     n, Bt, _ = Sinv.shape
-    zero = jnp.zeros((Bt,), r.dtype)
+    zero = 0.0 * r[0]  # data-derived: keeps shard_map varying type
 
     def fwd(y_prev, xs):
         Sinv_i, L_i, r_i = xs
