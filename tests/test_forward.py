@@ -315,3 +315,37 @@ def test_implicit_fsi_aitken_matches_plain():
     )
     assert np.all(np.asarray(i1.rel_err) < 1e-10)
     assert np.asarray(i1.num_iter).mean() <= np.asarray(i0.num_iter).mean() + 0.5
+
+
+def test_fixed_iteration_certification_guard(model):
+    """An insufficient ``fixed_iterations`` count (the sweep-optimal
+    configs are statically unrolled and skip the adaptive stagnation
+    stop) is caught by the host-side residual certification in
+    ``integrate`` (measured failure mode: fixed-2 left trajectories 8x
+    worse at 53k DOFs while fixed-3 was at the noise floor)."""
+    import warnings
+
+    times = 2e-5 * np.arange(17)
+    ini = model.state0.copy()
+    ini[:] = 0.0
+
+    with pytest.warns(RuntimeWarning, match="certification threshold"):
+        fin, info = forward.integrate(
+            model, None, ini, [model.control], model.prop, times,
+            write=False,
+            newton_solver_prm={
+                "fixed_iterations": 1, "jacobian_refresh_steps": 8,
+            },
+        )
+    assert info["uncertified_steps"] > 0
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        fin, info = forward.integrate(
+            model, None, ini, [model.control], model.prop, times,
+            write=False,
+            newton_solver_prm={
+                "fixed_iterations": 4, "jacobian_refresh_steps": 8,
+            },
+        )
+    assert info["uncertified_steps"] == 0

@@ -427,7 +427,54 @@ def integrate(
         )
     else:
         last_info["diverged"] = False
+    last_info["uncertified_steps"] = certify_fixed_iterations(
+        newton_solver_prm, step_info
+    )
     return fin_bv, last_info
+
+
+def certify_fixed_iterations(params: Optional[dict], step_info) -> int:
+    """Residual-certify a statically-unrolled fixed-iteration Newton run.
+
+    ``fixed_iterations`` trades the adaptive stagnation stop for fixed
+    work per step (the sweep/latency-optimal configs) — but an iteration
+    count that certifies on one mesh can silently under-converge on a
+    larger one (measured: ``fixed_iterations=2`` left trajectories 8x
+    worse at 53k DOFs while 3 was at the noise floor).  Since the
+    per-step residuals still stream back through the scan, certification
+    is a host-side check: warn when steps stop at a relative residual
+    above ``fixed_certify_rel_err`` (default 3e-3 in f32 — above the
+    measured chord-Newton stagnation floor — and 1e-6 in f64).
+
+    Returns the number of uncertified steps (0 when the check passes or
+    does not apply).
+    """
+    params = dict(params or {})
+    if not params.get("fixed_iterations"):
+        return 0
+    rel = np.asarray(step_info["rel_err"])
+    f32 = rel.dtype == np.float32
+    threshold = params.get(
+        "fixed_certify_rel_err", 3e-3 if f32 else 1e-6
+    )
+    # steps that converged absolutely are certified regardless of the
+    # relative metric (rel_err ~ 1 on no-load steps where err0 ~ 0)
+    absr = np.asarray(step_info["abs_err"])
+    abs_ok = absr < params.get("absolute_tolerance", 1e-8)
+    bad = np.isfinite(rel) & (rel > threshold) & ~abs_ok
+    n_bad = int(bad.sum())
+    if n_bad:
+        import warnings
+
+        warnings.warn(
+            f"integrate: {n_bad}/{rel.size} steps stopped above the"
+            f" fixed-iteration certification threshold"
+            f" (max rel_err {float(np.nanmax(rel)):.2e} >"
+            f" {threshold:.0e}); raise 'fixed_iterations' or drop it to"
+            " restore the adaptive stagnation stop",
+            RuntimeWarning,
+        )
+    return n_bad
 
 
 def integrate_extend(
