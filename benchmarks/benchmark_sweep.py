@@ -18,6 +18,11 @@ def main():
     parser = setup_argument_parser()
     parser.add_argument("--batch", type=int, default=256)
     parser.add_argument("--steps", type=int, default=100)
+    parser.add_argument(
+        "--no-geometry", action="store_true",
+        help="sweep stiffness only (round-2 behavior); default sweeps"
+        " per-variant geometry (umesh shape displacement) AND stiffness",
+    )
     args = parser.parse_args()
 
     import jax
@@ -25,7 +30,8 @@ def main():
 
     from vf_fem_tpu import forward
 
-    model = setup_model()
+    geometry = not args.no_geometry
+    model = setup_model(shape=geometry)
     state0_bv, control, prop = setup_transient_args(model)
     model.set_prop(prop)
 
@@ -47,6 +53,24 @@ def main():
     prop_batch["emod"] = jnp.broadcast_to(
         emods, (batch,) + np.asarray(prop_d["emod"]).shape
     ).astype(jnp.asarray(prop_d["emod"]).dtype)
+    if geometry:
+        # per-variant geometry: scaled smooth y-bump of the fold via the
+        # umesh shape parameter (KelvinVoigtWShape; BASELINE config 5's
+        # "geometry/stiffness variants" as written)
+        X = np.asarray(model.solid._Xref)
+        bump = np.zeros_like(X)
+        xr = np.ptp(X[:, 0]) or 1.0
+        yr = np.ptp(X[:, 1]) or 1.0
+        bump[:, 1] = (
+            0.02
+            * np.sin(np.pi * (X[:, 0] - X[:, 0].min()) / xr)
+            * (X[:, 1] - X[:, 1].min()) / yr
+        )
+        scales = np.linspace(-1.0, 1.0, batch)
+        prop_batch["umesh"] = jnp.asarray(
+            scales[:, None] * bump.reshape(-1)[None, :],
+            dtype=jnp.asarray(prop_d["emod"]).dtype,
+        )
 
     # Stale-factor quasi-Newton with Newton–Schulz inverse refresh: the
     # per-window Jacobian update is two batched matmuls (MXU) instead of a

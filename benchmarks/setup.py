@@ -22,11 +22,14 @@ from vf_fem_tpu.mesh import load_gmsh, vocal_fold_mesh
 from vf_fem_tpu.residuals import fluid as flr, solid as slr
 
 
-def setup_model(mesh_path=None):
+def setup_model(mesh_path=None, shape=False):
     """The reference benchmark model: KelvinVoigtWEpithelium +
     BernoulliAreaRatioSep, explicit coupling, on the M5-3layers mesh
     (reference: ``benchmarks/setup.py:12-27`` +
-    ``benchmark_forward.py:28`` which meshes ``meshes/M5-3layers.msh``)."""
+    ``benchmark_forward.py:28`` which meshes ``meshes/M5-3layers.msh``).
+
+    ``shape=True`` swaps in ``KelvinVoigtWShape`` so per-variant geometry
+    (the ``umesh`` mesh-displacement parameter) can be swept."""
     if mesh_path is None:
         mesh_path = os.path.join(
             os.path.dirname(__file__), "..", "meshes", "M5_3layers.msh"
@@ -37,7 +40,7 @@ def setup_model(mesh_path=None):
         mesh = vocal_fold_mesh(24, 12)
     return load_fsi_model(
         mesh,
-        slr.KelvinVoigtWEpithelium,
+        slr.KelvinVoigtWShape if shape else slr.KelvinVoigtWEpithelium,
         flr.BernoulliAreaRatioSep,
         coupling="explicit",
     )
@@ -59,9 +62,10 @@ def setup_transient_args(model):
     prop["rho"][:] = 1.0
     prop["eta"][:] = 3.0
     prop["nu"][:] = 0.45
-    prop["emod_membrane"][:] = 0.0
-    prop["th_membrane"][:] = 0.0
-    prop["nu_membrane"][:] = 0.3
+    if "emod_membrane" in prop:
+        prop["emod_membrane"][:] = 0.0
+        prop["th_membrane"][:] = 0.0
+        prop["nu_membrane"][:] = 0.3
     prop["ycontact"][:] = ymax + 0.05
     prop["kcontact"][:] = 1e8
     prop["rho_air"][:] = 1.1225e-3

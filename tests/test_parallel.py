@@ -233,3 +233,73 @@ def test_dp_tp_2d_mesh_matvec():
         np.testing.assert_allclose(
             y_b[i, : model.ndof], y_ref[i], rtol=1e-12, atol=1e-12
         )
+
+
+def test_geometry_sweep_with_shape_grad():
+    """BASELINE config 5 as written: *geometry* AND stiffness variants in
+    one vmapped sweep — per-variant ``umesh`` (mesh-displacement shape
+    parameter, ``residuals/solid.KelvinVoigtWShape``) with an FD-checked
+    shape gradient under vmap."""
+    from vf_fem_tpu.residuals import fluid as flr, solid as slr
+    from fixture_models import make_vf_fsi_model
+
+    model = make_vf_fsi_model(
+        SolidResidual=slr.KelvinVoigtWShape,
+        FluidResidual=flr.BernoulliSmoothMinSep,
+        nx=6, ny=3,
+    )
+    state0 = {
+        k: jnp.zeros_like(jnp.asarray(np.asarray(v)))
+        for k, v in model.state0.sub_items()
+    }
+    cs = forward._stack_controls(model, [model.control])
+    prop0 = model.prop_to_dict(model.prop)
+    times = jnp.asarray(2e-5 * np.arange(6))
+
+    batch = 4
+    prop_batch = {
+        k: jnp.stack([jnp.asarray(v)] * batch) for k, v in prop0.items()
+    }
+    prop_batch["emod"] = jnp.broadcast_to(
+        jnp.linspace(4e4, 8e4, batch)[:, None],
+        (batch,) + prop0["emod"].shape,
+    )
+    # per-variant geometry: a smooth y-bump of the whole fold, scaled
+    # differently per variant (vertex-major interleaved dof order)
+    nvert = model.solid.nvert
+    X = np.asarray(model.solid._Xref)
+    bump = np.zeros((nvert, 2))
+    bump[:, 1] = 0.004 * np.sin(
+        np.pi * (X[:, 0] - X[:, 0].min())
+        / max(np.ptp(X[:, 0]), 1e-9)
+    ) * (X[:, 1] - X[:, 1].min()) / max(np.ptp(X[:, 1]), 1e-9)
+    scales = np.linspace(-1.0, 1.0, batch)
+    umesh_b = jnp.asarray(scales[:, None] * bump.reshape(-1)[None, :])
+    prop_batch["umesh"] = umesh_b
+
+    def loss(p):
+        fin, traj, infos = forward.integrate_pure(
+            model, state0, cs, p, times, use_remat=True
+        )
+        return jnp.sum(fin["u"] ** 2) * 1e4 + 1e-6 * jnp.sum(
+            traj["q"] ** 2
+        )
+
+    vals, grads = jax.vmap(jax.value_and_grad(loss))(prop_batch)
+    assert vals.shape == (batch,)
+    assert np.all(np.isfinite(np.asarray(vals)))
+    # geometry changed the physics: distinct values across variants
+    assert np.unique(np.asarray(vals)).size == batch
+    g_um = np.asarray(grads["umesh"])
+    assert np.all(np.isfinite(g_um)) and np.linalg.norm(g_um[2]) > 0
+
+    # FD check of the shape gradient for one variant along a direction
+    rng = np.random.default_rng(3)
+    dh = rng.standard_normal(g_um.shape[1])
+    dh /= np.linalg.norm(dh)
+    h = 1e-6
+    pv = {k: np.asarray(v[2]) for k, v in prop_batch.items()}
+    vp = dict(pv); vp["umesh"] = pv["umesh"] + h * dh
+    vm = dict(pv); vm["umesh"] = pv["umesh"] - h * dh
+    fd = (float(loss(vp)) - float(loss(vm))) / (2 * h)
+    np.testing.assert_allclose(float(g_um[2] @ dh), fd, rtol=2e-5)
