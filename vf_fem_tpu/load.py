@@ -148,3 +148,29 @@ def load_fsi_model(
         )
 
     return FSIModel(solid, fluid, dofs_fsi_solid, dofs_fsi_fluid)
+
+
+def load_fsai_model(
+    solid_mesh: Union[str, Mesh],
+    SolidResidual: type = slr.KelvinVoigt,
+    FluidResidual: type = flr.BernoulliSmoothMinSep,
+    num_tube: int = 44,
+    **fsi_kwargs,
+):
+    """
+    Load a two-way coupled fluid-solid-acoustic model: an explicit FSI
+    model plus a WRA vocal tract whose input pressure feeds back as the
+    fluid's supraglottal boundary pressure (restores the reference's
+    dead FSAI coupling, reference ``load.py:165-199`` +
+    ``models/transient.py:1147-1595``).
+
+    Drive it at the tract's geometry-locked time step (``model.dt``).
+    """
+    from .models.acoustic import WRAnalog
+    from .models.fsai import ExplicitFSAIModel
+
+    fsi = load_fsi_model(
+        solid_mesh, SolidResidual, FluidResidual,
+        coupling="explicit", **fsi_kwargs,
+    )
+    return ExplicitFSAIModel(fsi, WRAnalog(num_tube))
