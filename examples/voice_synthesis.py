@@ -1,16 +1,15 @@
 """
-End-to-end voice synthesis: FSI phonation -> vocal-tract acoustics -> WAV.
+End-to-end voice synthesis: two-way coupled FSAI phonation -> WAV.
 
-Source-filter synthesis with a physics-based source: the coupled
-solid/Bernoulli model of the M5 CAD fold self-oscillates and its glottal
-flow drives the 1D wave-reflection-analog vocal tract (the model the
-reference keeps as dead code, reference ``transient.py:1147-1595``;
-restored here as ``models/acoustic.WRAnalog``).  The radiated mouth
-pressure is written as a WAV file and its spectrum reported (f0 +
-formants).
+ONE integrate of the fully coupled fluid-solid-acoustic model
+(``load_fsai_model``): inside every scanned step the M5 CAD fold's
+glottal flow drives the 1D wave-reflection-analog vocal tract AND the
+tract's input pressure feeds back as the fluid's supraglottal boundary
+pressure (the coupling the reference keeps as dead code, reference
+``transient.py:1147-1595``).  The radiated mouth pressure is written as
+a WAV file and its spectrum reported (f0 + formants).
 
-The FSI runs at the tract's locked time step dt = (2 L / N) / c, so the
-flow couples sample-by-sample with no resampling.
+Everything runs at the tract's locked time step dt = (2 L / N) / c.
 
 Usage: python voice_synthesis.py [--seconds 0.12] [--wav voice.wav]
 """
@@ -33,21 +32,20 @@ if jax.devices()[0].platform != "cpu":
 import numpy as np
 
 from vf_fem_tpu import forward
-from vf_fem_tpu.load import load_fsi_model
+from vf_fem_tpu.load import load_fsai_model
 from vf_fem_tpu.mesh import load_gmsh
 from vf_fem_tpu.misc.signal import fundamental_mode_from_rfft
-from vf_fem_tpu.models.acoustic import WRAnalog
 from vf_fem_tpu.residuals import fluid as flr, solid as slr
 
 MESH = os.path.join(os.path.dirname(__file__), "..", "meshes",
                     "M5_CB_GA3.msh")
 
 
-def build_fsi():
+def build_fsai(n_tube):
     mesh = load_gmsh(MESH)
-    model = load_fsi_model(
+    model = load_fsai_model(
         mesh, slr.KelvinVoigt, flr.BernoulliAreaRatioSep,
-        coupling="explicit",
+        num_tube=n_tube,
     )
     ymax = mesh.coords[:, 1].max()
     prop = model.prop
@@ -61,9 +59,10 @@ def build_fsi():
     prop["r_sep"][:] = 1.0
     prop["area_lb"][:] = 1e-4
     prop["ymid"][:] = ymax + 0.01
+    prop["area"][:] = vowel_a_area(n_tube)
+    prop["proploss"][:] = 1.0
     model.set_prop(prop)
     model.control["psub"][:] = 8000.0
-    model.control["psup"][:] = 0.0
     model.set_control(model.control)
     return model
 
@@ -82,16 +81,13 @@ def main():
     parser.add_argument("--n-tube", type=int, default=44)
     args = parser.parse_args()
 
-    tract = WRAnalog(args.n_tube)
-    tract.prop["area"][:] = vowel_a_area(args.n_tube)
-    dt = float((2 * tract.prop["length"][0] / args.n_tube)
-               / tract.prop["soundspeed"][0])
+    # ONE two-way coupled FSAI integrate at the tract's locked dt
+    model = build_fsai(args.n_tube)
+    dt = model.dt
     n_steps = int(args.seconds / dt)
     fs = 1.0 / dt
     print(f"dt = {dt * 1e6:.1f} us (fs = {fs:.0f} Hz), {n_steps} steps")
 
-    # 1. glottal source: coupled FSI phonation
-    model = build_fsi()
     state0 = {k: np.zeros_like(np.asarray(v))
               for k, v in model.state0.sub_items()}
     cs = forward._stack_controls(model, [model.control])
@@ -110,22 +106,13 @@ def main():
         model, state0, cs, pd, times, tol, window=1000
     )
     q = np.asarray(traj["q"]).reshape(n_steps, -1)[:, 0]
-    print(f"FSI source: {n_steps} steps in"
+    print(f"coupled FSAI: {n_steps} steps in"
           f" {time.perf_counter() - t0:.1f} s; q in"
           f" [{q.min():.1f}, {q.max():.1f}] cm^3/s")
+    prad = (np.asarray(traj["pinc"])[:, -1]
+            + np.asarray(traj["pref"])[:, -1])
 
-    # 2. filter: scanned WRA tract driven by the flow sample-by-sample
-    t_state0 = {k: np.zeros_like(np.asarray(v))
-                for k, v in tract.state0.sub_items()}
-    t_cs = {"qin": q[:, None]}
-    t_pd = tract.prop_to_dict(tract.prop)
-    _, t_traj, _ = forward.integrate_pure(
-        tract, t_state0, t_cs, t_pd, times
-    )
-    prad = (np.asarray(t_traj["pinc"])[:, -1]
-            + np.asarray(t_traj["pref"])[:, -1])
-
-    # 3. report f0 + formants from the steady portion
+    # report f0 + formants from the steady portion
     steady = prad[n_steps // 3:]
     f0, _ = fundamental_mode_from_rfft(
         np.asarray(q[n_steps // 3:], dtype=float), dt

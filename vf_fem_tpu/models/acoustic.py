@@ -35,14 +35,26 @@ from ..solvers.newton import SolveInfo
 from .transient import BaseTransientModel
 
 
-def make_wra_step(n_tube: int):
+def make_wra_parts(n_tube: int):
     """
-    Return ``step(pinc, pref, qin, prop) -> (pinc1, pref1)``, the pure WRA
-    update (reference ``wra()``: ``transient.py:1310-1563``).
+    Return ``(half, full)``, the two phases of the WRA update
+    (reference ``wra()``: ``transient.py:1310-1563``):
+
+    - ``half(pinc, pref, prop) -> pinc_1``: reflections at odd junctions,
+      producing the incident partial pressures at even junctions.  The
+      glottal flow does not enter yet, so the input junction's incoming
+      backward wave ``b2 = gamma2[0] * pinc_1[1]`` — and hence the
+      tract's instantaneous input pressure ``p = z q + 2 b2`` — is
+      available *before* choosing ``q``.  This is what lets the FSAI
+      model couple the source and tract implicitly within one step
+      (``models.fsai``).
+    - ``full(pinc_1, pinc, pref, qin, prop) -> (pinc1, pref1)``:
+      reflections at even junctions including the flow-source input and
+      the piston radiation load.
     """
     assert n_tube % 2 == 0
 
-    def step(pinc, pref, qin, prop):
+    def _setup(prop):
         area = prop["area"]
         gamma = prop["proploss"]
         rho = prop["rhoac"][0]
@@ -63,6 +75,33 @@ def make_wra_step(n_tube: int):
         gamma2 = jnp.concatenate([gamma[:-1:2], jnp.ones(1)])
         z1 = rho * c / a1
         z2 = rho * c / a2
+        return a1, a2, gamma1, gamma2, z1, z2, R, L
+
+    def half(pinc, pref, prop):
+        a1, a2, gamma1, gamma2, z1, z2, R, L = _setup(prop)
+
+        def reflect05(pinc_05):
+            z1_, z2_ = z2[:-1], z1[1:]
+            g1_, g2_ = gamma2[:-1], gamma1[1:]
+            f1 = g1_ * pinc_05[:-1:2]
+            b2 = g2_ * pinc_05[1::2]
+            r = (z2_ - z1_) / (z2_ + z1_)
+            b1 = b2 + (f1 - b2) * r
+            f2 = f1 + (f1 - b2) * r
+            return jnp.stack([b1, f2], axis=-1).reshape(-1)
+
+        # half step: reflected (even) -> incident at odd junctions
+        b1, f2 = pref[:-1:2], pref[1::2]
+        pinc_05 = jnp.stack([f2[:-1], b1[1:]], axis=-1).reshape(-1)
+        pref_05 = reflect05(pinc_05)
+        b1_05, f2_05 = pref_05[:-1:2], pref_05[1::2]
+
+        f1_1 = jnp.concatenate([jnp.zeros(1), f2_05])
+        b2_1 = jnp.concatenate([b1_05, jnp.zeros(1)])
+        return jnp.stack([f1_1, b2_1], axis=-1).reshape(-1)
+
+    def full(pinc_1, pinc, pref, qin, prop):
+        a1, a2, gamma1, gamma2, z1, z2, R, L = _setup(prop)
 
         def inputq(q, pinc_inp):
             z, g = z2[0], gamma2[0]
@@ -87,16 +126,6 @@ def make_wra_step(n_tube: int):
             )
             return jnp.array([b1, f2])
 
-        def reflect05(pinc_05):
-            z1_, z2_ = z2[:-1], z1[1:]
-            g1_, g2_ = gamma2[:-1], gamma1[1:]
-            f1 = g1_ * pinc_05[:-1:2]
-            b2 = g2_ * pinc_05[1::2]
-            r = (z2_ - z1_) / (z2_ + z1_)
-            b1 = b2 + (f1 - b2) * r
-            f2 = f1 + (f1 - b2) * r
-            return jnp.stack([b1, f2], axis=-1).reshape(-1)
-
         def reflect00(pinc_1, pinc_prev, pref_prev, q):
             f1 = gamma1 * pinc_1[:-1:2]
             b2 = gamma2 * pinc_1[1::2]
@@ -108,18 +137,28 @@ def make_wra_step(n_tube: int):
             pref_rad = radiation(pinc_1[-2:], pinc_prev[-2:], pref_prev[-2:])
             return jnp.concatenate([pref_inp, pref_int, pref_rad])
 
-        # half step: reflected (even) -> incident at odd junctions
-        b1, f2 = pref[:-1:2], pref[1::2]
-        pinc_05 = jnp.stack([f2[:-1], b1[1:]], axis=-1).reshape(-1)
-        pref_05 = reflect05(pinc_05)
-        b1_05, f2_05 = pref_05[:-1:2], pref_05[1::2]
+        return pinc_1, reflect00(pinc_1, pinc, pref, jnp.squeeze(qin))
 
-        # full step: reflected (odd) -> incident at even junctions
-        f1_1 = jnp.concatenate([jnp.zeros(1), f2_05])
-        b2_1 = jnp.concatenate([b1_05, jnp.zeros(1)])
-        pinc_1 = jnp.stack([f1_1, b2_1], axis=-1).reshape(-1)
-        pref_1 = reflect00(pinc_1, pinc, pref, jnp.squeeze(qin))
-        return pinc_1, pref_1
+    def input_coeffs(pinc_1, prop):
+        """Instantaneous input-pressure law ``p = z q + 2 b2`` of the
+        tract at this step: returns ``(z, b2)`` with ``b2`` the
+        attenuated incoming backward wave at the input junction."""
+        a1, a2, gamma1, gamma2, z1, z2, R, L = _setup(prop)
+        return z2[0], gamma2[0] * pinc_1[1]
+
+    return half, full, input_coeffs
+
+
+def make_wra_step(n_tube: int):
+    """
+    Return ``step(pinc, pref, qin, prop) -> (pinc1, pref1)``, the pure WRA
+    update (reference ``wra()``: ``transient.py:1310-1563``).
+    """
+    half, full, _ = make_wra_parts(n_tube)
+
+    def step(pinc, pref, qin, prop):
+        pinc_1 = half(pinc, pref, prop)
+        return full(pinc_1, pinc, pref, qin, prop)
 
     return step
 

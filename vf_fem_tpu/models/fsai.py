@@ -10,13 +10,19 @@ tract, and the tract's glottal-end pressure feeds back as the fluid's
 supraglottal boundary pressure — acoustic loading influences phonation,
 not just the other way around.
 
-Staggered-explicit update (consistent with ``ExplicitFSIModel``):
+Interactive update (Titze's source-filter interaction, made implicit
+within the step):
 
-1. solid Newton step with the previous fluid pressure,
-2. quasi-steady fluid solve with ``area(u1)``, ``psub`` from the
-   control, and ``psup = pinc0[0] + pref0[0]`` (the tract's input-end
-   pressure at the *previous* acoustic state),
-3. WRA tract step driven by the new glottal flow ``q1``.
+1. solid Newton step with the previous fluid pressure (staggered, as in
+   ``ExplicitFSIModel``),
+2. the WRA half-step exposes the tract's *instantaneous* input-pressure
+   law ``psup = z q + 2 b2`` (``acoustic.make_wra_parts``); the
+   quasi-steady fluid and that law are solved together by a damped
+   fixed point on the scalar ``q`` — acoustic loading acts on the flow
+   with zero delay.  (A one-step-lagged explicit exchange is marginally
+   unstable here: the loop gain ``z dq/dp`` approaches 1 for narrow
+   pharynx areas and the coupled run locks onto a delay oscillation.)
+3. WRA full step driven by the converged glottal flow ``q1``.
 
 The acoustic time step is geometry-locked (``dt = 2 L / (N c)``); drive
 the model at that dt (``model.dt``), like the reference FSAI did.
@@ -71,11 +77,17 @@ class ExplicitFSAIModel(BaseTransientModel):
 
     # -- pure functional core ------------------------------------------------
     def _build_pure_fns(self):
+        from .acoustic import make_wra_parts
+
         fsi = self.fsi
+        solid = self.solid
+        fluid = self.fluid
         acoustic = self.acoustic
         fsi_keys = self._fsi_prop_keys
         ac_keys = self._ac_prop_keys
-        wra = acoustic._step
+        half, full, input_coeffs = make_wra_parts(acoustic.num_tube)
+        n_interact = 8  # damped fixed-point iterations on the scalar q
+        relax = 0.7
 
         def split(prop):
             return (
@@ -83,62 +95,74 @@ class ExplicitFSAIModel(BaseTransientModel):
                 {k: prop[k] for k in ac_keys},
             )
 
-        def psup_of(state):
-            # tract input-junction pressure p = f + b, kept (1,)-shaped
-            # to match the fluid's psup control
-            return state["pinc"][:1] + state["pref"][:1]
+        def sl_views(state):
+            return {k: state[k] for k in ("u", "v", "a")}
 
-        def fsi_views(state):
-            fsi_state = {
-                k: state[k] for k in ("u", "v", "a", "q", "p")
-            }
-            ac_state = {k: state[k] for k in ("pinc", "pref")}
-            return fsi_state, ac_state
+        def solve_flow(u1, state0, control, prop, fl_prop, ac_prop):
+            """Interactive source: solve ``q`` against the tract's
+            instantaneous input-pressure law ``psup = z q + 2 b2``
+            jointly with the quasi-steady fluid (damped fixed point; the
+            law is exact for the WRA input junction)."""
+            pinc_1 = half(state0["pinc"], state0["pref"], ac_prop)
+            z0, b2_0 = input_coeffs(pinc_1, ac_prop)
+            area = fsi._area_from_u1(u1, prop)
+            proto = {"q": state0["q"], "p": state0["p"]}
+            ext = {k: control[k] for k in self._ext_control_keys}
 
-        def couple(step_out, state0, ac_prop):
-            """Drive the tract with the step's new glottal flow."""
-            pinc1, pref1 = wra(
-                state0["pinc"], state0["pref"], step_out["q"], ac_prop
+            def fluid_at(q):
+                psup = (z0 * q + 2.0 * b2_0).reshape((1,))
+                return fluid.solve_pure(
+                    {"area": area, **ext, "psup": psup}, fl_prop, proto
+                )
+
+            q = jnp.squeeze(state0["q"])
+            for _ in range(n_interact):
+                qp = fluid_at(q)
+                q = relax * jnp.squeeze(qp["q"]) + (1.0 - relax) * q
+            qp = fluid_at(q)
+            return qp, pinc_1
+
+        def step_with(solid_solve, state1_guess, state0, control, prop,
+                      dt, params):
+            fsi_prop, ac_prop = split(prop)
+            sl_prop, fl_prop = fsi._split_prop(fsi_prop)
+            p_solid = fsi._pressure_to_solid(state0["p"])
+            uva1, info = solid_solve(
+                sl_views(state1_guess), sl_views(state0),
+                {"p1": p_solid}, sl_prop, dt, params,
             )
-            return {**step_out, "pinc": pinc1, "pref": pref1}
-
-        def fsi_control(control, state0):
-            c = {k: control[k] for k in self._ext_control_keys}
-            c["psup"] = psup_of(state0)
-            return c
+            qp1, pinc_1 = solve_flow(
+                uva1["u"], state0, control, fsi_prop, fl_prop, ac_prop
+            )
+            pinc1, pref1 = full(
+                pinc_1, state0["pinc"], state0["pref"], qp1["q"], ac_prop
+            )
+            return {**uva1, **qp1, "pinc": pinc1, "pref": pref1}, info
 
         def step_pure(state1_guess, state0, control, prop, dt,
                       params=_params_key(None)):
-            fsi_prop, ac_prop = split(prop)
-            f_state0, _ = fsi_views(state0)
-            f_guess, _ = fsi_views(state1_guess)
-            out, info = fsi.step_pure(
-                f_guess, f_state0, fsi_control(control, state0),
-                fsi_prop, dt, params,
+            return step_with(
+                solid.solve_state1_pure, state1_guess, state0, control,
+                prop, dt, params,
             )
-            return couple(out, state0, ac_prop), info
 
         self.step_pure = step_pure
 
         def step_pure_fwd(state1_guess, state0, control, prop, dt,
                           params=_params_key(None)):
-            fsi_prop, ac_prop = split(prop)
-            f_state0, _ = fsi_views(state0)
-            f_guess, _ = fsi_views(state1_guess)
-            out, info = fsi.step_pure_fwd(
-                f_guess, f_state0, fsi_control(control, state0),
-                fsi_prop, dt, params,
+            return step_with(
+                solid.solve_state1_pure_fwd, state1_guess, state0,
+                control, prop, dt, params,
             )
-            return couple(out, state0, ac_prop), info
 
         self.step_pure_fwd = step_pure_fwd
 
         def factorize(state0, control, prop, dt, params=_params_key(None)):
             fsi_prop, _ = split(prop)
-            f_state0, _ = fsi_views(state0)
-            return fsi.factorize(
-                f_state0, fsi_control(control, state0), fsi_prop, dt,
-                params,
+            sl_prop, _ = fsi._split_prop(fsi_prop)
+            p_solid = fsi._pressure_to_solid(state0["p"])
+            return solid.factorize(
+                sl_views(state0), {"p1": p_solid}, sl_prop, dt, params
             )
 
         self.factorize = factorize
@@ -146,41 +170,60 @@ class ExplicitFSAIModel(BaseTransientModel):
         def refresh_factors(factors, state0, control, prop, dt,
                             params=_params_key(None)):
             fsi_prop, _ = split(prop)
-            f_state0, _ = fsi_views(state0)
-            return fsi.refresh_factors(
-                factors, f_state0, fsi_control(control, state0),
-                fsi_prop, dt, params,
+            sl_prop, _ = fsi._split_prop(fsi_prop)
+            p_solid = fsi._pressure_to_solid(state0["p"])
+            return solid.refresh_factors(
+                factors, sl_views(state0), {"p1": p_solid}, sl_prop, dt,
+                params,
             )
 
         self.refresh_factors = refresh_factors
 
         def step_pure_stale(state1_guess, factors, state0, control, prop,
                             dt, params=_params_key(None)):
-            fsi_prop, ac_prop = split(prop)
-            f_state0, _ = fsi_views(state0)
-            f_guess, _ = fsi_views(state1_guess)
-            out, info = fsi.step_pure_stale(
-                f_guess, factors, f_state0,
-                fsi_control(control, state0), fsi_prop, dt, params,
+            def solve(guess, s0, ctrl, sp, dt_, prm):
+                return solid.solve_state1_stale(
+                    guess, factors, s0, ctrl, sp, dt_, prm
+                )
+
+            return step_with(
+                solve, state1_guess, state0, control, prop, dt, params
             )
-            return couple(out, state0, ac_prop), info
 
         self.step_pure_stale = step_pure_stale
 
         def res_pure(state1, state0, control, prop, dt):
             fsi_prop, ac_prop = split(prop)
-            f_state1, _ = fsi_views(state1)
-            f_state0, _ = fsi_views(state0)
-            res = fsi.res_pure(
-                f_state1, f_state0, fsi_control(control, state0),
-                fsi_prop, dt,
+            sl_prop, fl_prop = fsi._split_prop(fsi_prop)
+            p_solid = fsi._pressure_to_solid(state0["p"])
+            res_sl = solid.res_transient(
+                sl_views(state1), sl_views(state0), {"p1": p_solid},
+                sl_prop, dt,
             )
-            pinc1, pref1 = wra(
-                state0["pinc"], state0["pref"], state1["q"], ac_prop
+            # the coupled flow satisfies the fluid residual at the
+            # tract's instantaneous input pressure psup(q1)
+            pinc_1 = half(state0["pinc"], state0["pref"], ac_prop)
+            z0, b2_0 = input_coeffs(pinc_1, ac_prop)
+            area = fsi._area_from_u1(state1["u"], fsi_prop)
+            psup = (z0 * jnp.squeeze(state1["q"]) + 2.0 * b2_0).reshape(
+                (1,)
             )
-            res["pinc"] = state1["pinc"] - pinc1
-            res["pref"] = state1["pref"] - pref1
-            return res
+            ext = {k: control[k] for k in self._ext_control_keys}
+            res_fl = fluid.res_pure(
+                {"q": state1["q"], "p": state1["p"]},
+                {"area": area, **ext, "psup": psup},
+                fl_prop,
+            )
+            pinc1, pref1 = full(
+                pinc_1, state0["pinc"], state0["pref"], state1["q"],
+                ac_prop,
+            )
+            return {
+                **res_sl,
+                **res_fl,
+                "pinc": state1["pinc"] - pinc1,
+                "pref": state1["pref"] - pref1,
+            }
 
         self.res_pure = res_pure
 
