@@ -116,9 +116,12 @@ def run_device(model, device, tolerances):
         best = min(best, time.perf_counter() - t0)
     tps = N_STEPS / best
 
-    # Achieved-FLOP/s estimate from XLA's static cost analysis of the
-    # compiled scan program (flops per full run / best wall time).
+    # Achieved-FLOP/s + HBM-traffic estimates from XLA's static cost
+    # analysis of the compiled scan program (per full run / best wall
+    # time).  For a direct-solver FSI step the roofline that matters is
+    # BANDWIDTH, not FLOPs — see measure_stream_bound().
     flops = None
+    gbs = None
     try:
         from vf_fem_tpu.models.transient import _params_key
         from vf_fem_tpu.forward import _get_scan_fn
@@ -128,9 +131,41 @@ def run_device(model, device, tolerances):
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0)) / best
+        ba = float(cost.get("bytes accessed", 0.0))
+        if ba:
+            gbs = ba / best / 1e9
     except Exception as e:  # cost analysis is best-effort
         log(f"cost_analysis unavailable: {e}")
-    return tps, compile_time, fin, infos, flops
+    return tps, compile_time, fin, infos, flops, gbs
+
+
+def measure_stream_bound(device, nbytes=256 * 1024 * 1024):
+    """Measured HBM streaming bound: time ``sum(x)`` of ``nbytes`` inside
+    a jitted carry-dependent scan (defeats LICM; per-call dispatch
+    latency through the remote tunnel is amortized over the loop).  This
+    is the same-session roofline the bandwidth-bound solver legs are
+    compared against (``bw_frac``)."""
+    import jax.numpy as jnp
+
+    n = nbytes // 4
+    x = jax.device_put(jnp.zeros(n, jnp.float32), device)
+    n_inner = 20
+
+    @jax.jit
+    def run(x):
+        def body(c, _):
+            return c + jnp.sum(x + (c * 1e-38)), None
+
+        c, _ = jax.lax.scan(body, jnp.zeros(()), None, length=n_inner)
+        return c
+
+    jax.block_until_ready(run(x))
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(x))
+        best = min(best, time.perf_counter() - t0)
+    return nbytes * n_inner / best / 1e9  # GB/s
 
 
 def main():
@@ -177,7 +212,17 @@ def main():
     model = build(f64)
     log(f"device: {default}, ndof={model.solid.ndof}, f64={f64}")
 
-    tps_dev, ct_dev, fin_dev, infos_dev, flops_dev = run_device(
+    # same-session HBM streaming bound: the hardware normalizer that makes
+    # rounds comparable despite the remote tunnel's session-to-session
+    # throughput swings (measured up to ~4x on the same binary)
+    stream_gbs = None
+    try:
+        stream_gbs = measure_stream_bound(default)
+        log(f"measured HBM streaming bound: {stream_gbs:.1f} GB/s")
+    except Exception as e:
+        log(f"stream-bound probe failed: {e!r}")
+
+    tps_dev, ct_dev, fin_dev, infos_dev, flops_dev, gbs_dev = run_device(
         model, default, tol_dev
     )
     log(
@@ -195,7 +240,7 @@ def main():
     if on_accel:
         jax.config.update("jax_enable_compilation_cache", False)
         cpu = jax.devices("cpu")[0]
-        tps_cpu, ct_cpu, fin_cpu, _, _ = run_device(model, cpu, tol_cpu)
+        tps_cpu, ct_cpu, fin_cpu, _, _, _ = run_device(model, cpu, tol_cpu)
         jax.config.update("jax_enable_compilation_cache", True)
         log(f"cpu: {tps_cpu:.1f} steps/s (compile {ct_cpu:.1f}s)")
         vs_baseline = tps_dev / tps_cpu
@@ -212,10 +257,16 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(vs_baseline, 3),
     }
+    if stream_gbs:
+        out["stream_bound_gbs"] = round(stream_gbs, 1)
     if flops_dev:
         # v5e bf16 peak = 197 Tflop/s/chip; f32 (3-pass bf16) ~ 1/4 of it
         out["flops_est"] = round(flops_dev / 1e9, 2)
         out["mfu_est"] = round(flops_dev / (197e12 / 4), 6)
+    if gbs_dev:
+        out["achieved_gbs"] = round(gbs_dev, 2)
+        if stream_gbs:
+            out["bw_frac"] = round(gbs_dev / stream_gbs, 4)
 
     # Large-mesh leg (13.4k dofs, committed RCM asset): block-banded
     # assembly + block-tridiagonal direct solves — the formats that work
@@ -229,7 +280,7 @@ def main():
             raise TimeoutError("large-mesh leg exceeded its budget")
 
         signal.signal(signal.SIGALRM, _alarm)
-        signal.alarm(1500)
+        signal.alarm(1800)
         try:
             model_l = build(f64, mesh_file="M5_3layers_rcm_h006.msh")
             # guard against build()'s default-mesh fallback silently
@@ -245,29 +296,249 @@ def main():
                 "fixed_iterations": 3,
                 "stagnation_ratio": 0.5,
             }
-            tps_l, ct_l, fin_l, infos_l, flops_l = run_device(
+            tps_l, ct_l, fin_l, infos_l, flops_l, gbs_l = run_device(
                 model_l, default, tol_l
             )
             assert np.isfinite(np.asarray(fin_l["u"])).all()
-            log(
-                f"large mesh ({model_l.solid.ndof} dofs):"
-                f" {tps_l:.1f} steps/s (compile {ct_l:.0f}s, max rel_err"
-                f" {np.asarray(infos_l.rel_err).max():.2e})"
-            )
             out["large_mesh"] = {
                 "ndof": int(model_l.solid.ndof),
                 "steps_s": round(tps_l, 2),
                 "solver": "banded-assembly + btd direct (bf16 factors)",
             }
-            if flops_l:
-                out["large_mesh"]["mfu_est"] = round(
-                    flops_l / (197e12 / 4), 6
-                )
+            if gbs_l:
+                out["large_mesh"]["achieved_gbs"] = round(gbs_l, 2)
+                if stream_gbs:
+                    out["large_mesh"]["bw_frac"] = round(
+                        gbs_l / stream_gbs, 4
+                    )
+            # accuracy: trajectory vs an exact-Jacobian (refresh-1,
+            # full-precision-factor) run on the SAME device — the honest
+            # replacement for the earlier "max rel_err" line, which was
+            # the chord-Newton stagnation metric and read like an
+            # accuracy failure when it wasn't
+            tol_x = dict(tol_l)
+            tol_x.pop("btd_store_dtype")
+            tol_x["jacobian_refresh_steps"] = 1
+            _, _, fin_x, _, _, _ = run_device(model_l, default, tol_x)
+            traj_err = float(
+                np.abs(
+                    np.asarray(fin_l["u"]) - np.asarray(fin_x["u"])
+                ).max()
+                / max(np.abs(np.asarray(fin_x["u"])).max(), 1e-30)
+            )
+            out["large_mesh"]["traj_err"] = round(traj_err, 12)
+            log(
+                f"large mesh ({model_l.solid.ndof} dofs):"
+                f" {tps_l:.1f} steps/s (compile {ct_l:.0f}s,"
+                f" traj err vs exact-Jacobian {traj_err:.2e})"
+            )
         except Exception as e:
             log(f"large-mesh leg skipped: {e!r}")
         finally:
             signal.alarm(0)
+
+        # Implicit-coupling leg (the reference treats implicit as a
+        # first-class variant, reference ``transient.py:1003-1145``):
+        # same M5 CAD mesh, Picard+Aitken with stale factors.
+        signal.alarm(1200)
+        try:
+            model_i = build_implicit(f64)
+            tol_i = {
+                "jacobian_refresh_steps": 25,
+                "stagnation_ratio": 0.5,
+                "aitken": True,
+            }
+            tps_i, ct_i, fin_i, infos_i, _, _ = run_device(
+                model_i, default, tol_i
+            )
+            assert np.isfinite(np.asarray(fin_i["u"])).all()
+            log(
+                f"implicit coupling: {tps_i:.1f} steps/s"
+                f" (compile {ct_i:.0f}s, mean Picard iters"
+                f" {float(np.asarray(infos_i.num_iter).mean()):.2f})"
+            )
+            out["implicit"] = {
+                "steps_s": round(tps_i, 2),
+                "mean_iters": round(
+                    float(np.asarray(infos_i.num_iter).mean()), 2
+                ),
+            }
+        except Exception as e:
+            log(f"implicit leg skipped: {e!r}")
+        finally:
+            signal.alarm(0)
+
+        # Batched sweep leg — BASELINE config 5 as written: per-variant
+        # GEOMETRY (umesh shape displacement) and stiffness, vmapped.
+        signal.alarm(1500)
+        try:
+            import jax.numpy as jnp
+
+            from vf_fem_tpu import forward
+
+            model_s = build_sweep(f64)
+            state0 = {
+                k: jnp.zeros_like(jnp.asarray(np.asarray(v)))
+                for k, v in model_s.state0.sub_items()
+            }
+            cs = forward._stack_controls(model_s, [model_s.control])
+            pd = model_s.prop_to_dict(model_s.prop)
+            batch, steps = 64, 50
+            times_s = jnp.asarray(DT * np.arange(steps + 1))
+            pb = {
+                k: jnp.broadcast_to(
+                    jnp.asarray(v), (batch,) + np.asarray(v).shape
+                )
+                for k, v in pd.items()
+            }
+            pb = dict(pb)
+            pb["emod"] = jnp.broadcast_to(
+                jnp.linspace(4e4, 6e4, batch)[:, None],
+                (batch,) + pd["emod"].shape,
+            ).astype(jnp.asarray(pd["emod"]).dtype)
+            X = np.asarray(model_s.solid._Xref)
+            bump = np.zeros_like(X)
+            bump[:, 1] = (
+                0.004
+                * np.sin(
+                    np.pi * (X[:, 0] - X[:, 0].min())
+                    / max(np.ptp(X[:, 0]), 1e-9)
+                )
+                * (X[:, 1] - X[:, 1].min()) / max(np.ptp(X[:, 1]), 1e-9)
+            )
+            pb["umesh"] = jnp.asarray(
+                np.linspace(-1.0, 1.0, batch)[:, None]
+                * bump.reshape(-1)[None, :],
+                dtype=jnp.asarray(pd["emod"]).dtype,
+            )
+            tol_s = {
+                "jacobian_refresh_steps": 8,
+                "jacobian_refresh_mode": "ns",
+                "jacobian_full_refresh_windows": 8,
+                "stagnation_ratio": 0.5,
+                "fixed_iterations": 2,
+                "jacobian_refresh_precision": "default",
+                "assembly": "plain",
+            }
+
+            def run_one(p):
+                fin, traj, infos = forward.integrate_pure(
+                    model_s, state0, cs, p, times_s, tol_s
+                )
+                return fin
+
+            run_batch = jax.jit(jax.vmap(run_one))
+            t0 = time.perf_counter()
+            fin_s = run_batch(pb)
+            jax.tree_util.tree_map(
+                lambda a: a.block_until_ready(), fin_s
+            )
+            ct_s = time.perf_counter() - t0
+            best = np.inf
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fin_s = run_batch(pb)
+                jax.tree_util.tree_map(
+                    lambda a: a.block_until_ready(), fin_s
+                )
+                best = min(best, time.perf_counter() - t0)
+            assert np.isfinite(np.asarray(fin_s["u"])).all()
+            vps = batch * steps / best
+            log(
+                f"sweep (geometry+stiffness): {batch} variants x"
+                f" {steps} steps -> {vps:.0f} variant-steps/s"
+                f" (compile {ct_s:.0f}s)"
+            )
+            out["sweep"] = {
+                "variants": batch,
+                "variant_steps_s": round(vps, 1),
+                "varies": "umesh geometry + emod",
+            }
+        except Exception as e:
+            log(f"sweep leg skipped: {e!r}")
+        finally:
+            signal.alarm(0)
     print(json.dumps(out))
+
+
+def build_sweep(backend_f64: bool):
+    """Shape-capable sweep variant of the headline workload
+    (KelvinVoigtWShape so per-variant umesh geometry can be swept)."""
+    import os
+
+    from vf_fem_tpu.load import load_fsi_model
+    from vf_fem_tpu.mesh import load_gmsh, m5_mesh
+    from vf_fem_tpu.residuals import fluid as flr, solid as slr
+
+    msh = os.path.join(
+        os.path.dirname(__file__), "meshes", "M5_3layers.msh"
+    )
+    mesh = load_gmsh(msh) if os.path.exists(msh) else m5_mesh("M5_3layers")
+    ymax = mesh.coords[:, 1].max()
+    model = load_fsi_model(
+        mesh,
+        slr.KelvinVoigtWShape,
+        flr.BernoulliAreaRatioSep,
+        coupling="explicit",
+    )
+    prop = model.prop
+    prop["emod"][:] = 5e4
+    prop["rho"][:] = 1.0
+    prop["eta"][:] = 3.0
+    prop["nu"][:] = 0.45
+    prop["ycontact"][:] = ymax + 0.05
+    prop["kcontact"][:] = 1e8
+    prop["rho_air"][:] = 1.1225e-3
+    prop["r_sep"][:] = 1.0
+    prop["area_lb"][:] = 1e-4
+    prop["ymid"][:] = ymax + 0.01
+    model.set_prop(prop)
+    control = model.control
+    control["psub"][:] = 8000.0
+    control["psup"][:] = 0.0
+    model.set_control(control)
+    return model
+
+
+def build_implicit(backend_f64: bool):
+    """Implicit (Picard) coupling variant of the headline workload."""
+    import os
+
+    from vf_fem_tpu.load import load_fsi_model
+    from vf_fem_tpu.mesh import load_gmsh, m5_mesh
+    from vf_fem_tpu.residuals import fluid as flr, solid as slr
+
+    msh = os.path.join(
+        os.path.dirname(__file__), "meshes", "M5_3layers.msh"
+    )
+    mesh = load_gmsh(msh) if os.path.exists(msh) else m5_mesh("M5_3layers")
+    ymax = mesh.coords[:, 1].max()
+    model = load_fsi_model(
+        mesh,
+        slr.KelvinVoigtWEpithelium,
+        flr.BernoulliSmoothMinSep,
+        coupling="implicit",
+    )
+    prop = model.prop
+    prop["emod"][:] = 5e4
+    prop["rho"][:] = 1.0
+    prop["eta"][:] = 3.0
+    prop["nu"][:] = 0.45
+    prop["emod_membrane"][:] = 0.0
+    prop["nu_membrane"][:] = 0.3
+    prop["th_membrane"][:] = 0.0
+    prop["ycontact"][:] = ymax + 0.05
+    prop["kcontact"][:] = 1e8
+    prop["rho_air"][:] = 1.1225e-3
+    prop["zeta_min"][:] = 1e-3
+    prop["zeta_sep"][:] = 1e-3
+    prop["ymid"][:] = ymax + 0.01
+    model.set_prop(prop)
+    control = model.control
+    control["psub"][:] = 8000.0
+    control["psup"][:] = 0.0
+    model.set_control(control)
+    return model
 
 
 if __name__ == "__main__":

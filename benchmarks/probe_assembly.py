@@ -198,6 +198,41 @@ def main():
     print(f"bsb_fill:               {t*1e3:8.3f} ms")
     blocks = fill(Jc, Jf)
 
+    # fill variants: host-sorted targets + sorted segment_sum presum to
+    # unique nnz slots + unique-index scatter — probing whether XLA's
+    # scatter-add is the serialization bottleneck
+    tgt = np.asarray(plan.tgt_idx)
+    keep = np.asarray(plan.src_keep)
+    perm = np.argsort(tgt, kind="stable").astype(np.int32)
+    tgt_sorted = tgt[perm]
+    uniq, seg_start = np.unique(tgt_sorted, return_index=True)
+    seg_ids = np.zeros(len(tgt_sorted), dtype=np.int32)
+    seg_ids[seg_start[1:]] = 1
+    seg_ids = np.cumsum(seg_ids).astype(np.int32)
+    size = plan.nblk * plan.nb * plan.b * plan.b
+    keep_j = jnp.asarray(keep[perm].astype(np.float64))
+
+    @jax.jit
+    def fill_sorted(Jc, Jf):
+        src = jnp.concatenate([Jc.reshape(-1), Jf.reshape(-1)])
+        srcp = src[jnp.asarray(perm)] * keep_j.astype(src.dtype)
+        vals = jax.ops.segment_sum(
+            srcp, jnp.asarray(seg_ids), num_segments=len(uniq),
+            indices_are_sorted=True,
+        )
+        flat = jnp.zeros(size, src.dtype)
+        flat = flat.at[jnp.asarray(uniq)].set(
+            vals, unique_indices=True, indices_are_sorted=True
+        )
+        flat = flat.at[jnp.asarray(plan.diag_ones)].add(1.0)
+        return flat.reshape(plan.nblk, plan.nb, plan.b, plan.b)
+
+    t = timeit(fill_sorted, Jc, Jf, n=3)
+    err = float(
+        jnp.abs(fill_sorted(Jc, Jf) - blocks).max()
+    )
+    print(f"fill sorted+unique:     {t*1e3:8.3f} ms (|diff| {err:.1e})")
+
     fac = jax.jit(lambda b: btd_mod.btd_factor(plan, b))
     t = timeit(fac, blocks, n=3)
     print(f"btd_factor:             {t*1e3:8.3f} ms")
@@ -206,6 +241,22 @@ def main():
     solve = jax.jit(lambda r: btd_mod.btd_solve(plan, factors, r))
     t = timeit(solve, u, n=3)
     print(f"btd_solve:              {t*1e3:8.3f} ms")
+
+    # SPIKE-partitioned factorization: the scan shrinks from n_sup
+    # sequential Bt-LU steps to n_sup/S batched ones (+ batched spike
+    # solves) — the single-chip lever on the latency-bound btd_factor
+    from vf_fem_tpu.solvers import spike as spike_mod
+
+    for S in (4, 8, 16):
+        facS = jax.jit(
+            lambda b: spike_mod.spike_factor(plan, b, n_parts=S)
+        )
+        t = timeit(facS, blocks, n=3)
+        print(f"spike_factor (S={S:2d}):   {t*1e3:8.3f} ms")
+        fS = facS(blocks)
+        sol = jax.jit(lambda r: spike_mod.spike_solve(plan, fS, r))
+        t = timeit(sol, u, n=3)
+        print(f"spike_solve  (S={S:2d}):   {t*1e3:8.3f} ms")
 
 
 if __name__ == "__main__":

@@ -504,6 +504,7 @@ class SolidModel(BaseTransientModel):
                 return btd_mod.btd_factor(
                     get_bsb_plan(), blocks,
                     store_dtype=params_d.get("btd_store_dtype"),
+                    factor_dtype=params_d.get("btd_factor_dtype"),
                 )
             if ls == "spike":
                 from ..solvers import bsb as bsb_mod, spike as spike_mod

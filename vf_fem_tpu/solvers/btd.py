@@ -118,7 +118,8 @@ def btd_superblocks(plan: BSBPlan, blocks: jnp.ndarray):
 
 
 def btd_factor(
-    plan: BSBPlan, blocks: jnp.ndarray, store_dtype=None
+    plan: BSBPlan, blocks: jnp.ndarray, store_dtype=None,
+    factor_dtype=None,
 ) -> BTDFactors:
     """Equilibrate + block-Thomas factor the banded Jacobian.
 
@@ -129,7 +130,16 @@ def btd_factor(
     already tolerates from stale factors — convergence remains
     residual-certified (see ``solvers.newton``).  Matvecs accumulate in
     f32 (``preferred_element_type``).
+
+    ``factor_dtype='float32'`` casts the Jacobian *before* factorizing —
+    the mixed-precision path for f64 runs on TPU, where elementwise f64
+    works (software-emulated) but there is no f64 LU: residuals stay
+    f64, factors and solves run f32, and the residual-certified Newton
+    refines to the f64 floor (reference tolerances,
+    ``solverconst.py:1-6``, on the accelerator itself).
     """
+    if factor_dtype is not None:
+        blocks = blocks.astype(factor_dtype)
     D, L, U, d = btd_superblocks(plan, blocks)
     Bt = D.shape[1]
     eye = jnp.eye(Bt, dtype=D.dtype)
@@ -152,9 +162,12 @@ def btd_factor(
 
 
 def _mv(A, x):
-    """A @ x preserving the vector dtype; bf16-stored factors stream at
-    half bandwidth and accumulate in f32 before casting back."""
-    if A.dtype == jnp.bfloat16:
+    """A @ x preserving the vector dtype.
+
+    bf16-stored factors stream at half bandwidth and accumulate in f32
+    before casting back; f32 factors under an f64 vector (the TPU
+    mixed-precision path — no f64 MXU) compute in f32 and cast back."""
+    if A.dtype != x.dtype:
         out = jax.lax.dot_general(
             A,
             x.astype(A.dtype),
@@ -193,7 +206,7 @@ def btd_solve(plan: BSBPlan, factors: BTDFactors, r: jnp.ndarray):
 
 def _mvT(A, x):
     """A.T @ x with the same dtype handling as :func:`_mv`."""
-    if A.dtype == jnp.bfloat16:
+    if A.dtype != x.dtype:
         out = jax.lax.dot_general(
             A,
             x.astype(A.dtype),
