@@ -107,3 +107,44 @@ def test_fixed_sep_idx_from_mesh_label():
     qp, _ = model.fluid.solve_state1(model.fluid.state1)
     p = np.asarray(qp["p"])
     np.testing.assert_allclose(p[idx + 1:], 0.0, atol=1e-9)
+
+
+def test_gradients_finite_at_full_closure():
+    """area -> 0 (full glottal closure, e.g. a shape sweep that pushes
+    the surface to ymid) must not NaN the gradients: area**-2 -> inf has
+    a NaN cotangent even where the primal is finite.  All fluid variants
+    carry a tiny area floor as the NaN guard (AreaRatioSep via its
+    explicit area_lb)."""
+    import jax
+    import jax.numpy as jnp
+    from vf_fem_tpu.residuals import fluid as flr
+
+    s = np.linspace(0.0, 1.0, 12)
+    for cls, extra in (
+        (flr.BernoulliSmoothMinSep, {"zeta_min": 1e-3, "zeta_sep": 1e-3}),
+        (flr.BernoulliFixedSep, {}),
+    ):
+        resid = (
+            cls(s, idx_sep=6) if cls is flr.BernoulliFixedSep else cls(s)
+        )
+        res, (state, control, prop) = resid.res, resid.res_args
+        prop = {k: np.full_like(np.asarray(v), 1.0) for k, v in prop.items()}
+        prop["rho_air"] = np.full_like(prop["rho_air"], 1.1225e-3)
+        for k, v in extra.items():
+            prop[k] = np.full_like(prop[k], v)
+        area = np.full(12, 0.5)
+        area[5:8] = 0.0  # fully closed mid-channel
+        control = {
+            "area": jnp.asarray(area),
+            "psub": jnp.asarray([8000.0]),
+            "psup": jnp.asarray([0.0]),
+        }
+        zero = {k: jnp.zeros_like(jnp.asarray(v)) for k, v in state.items()}
+
+        def qp_of_area(a):
+            r = res(zero, {**control, "area": a}, prop)
+            return jnp.sum(r["q"] ** 2) + 1e-8 * jnp.sum(r["p"] ** 2)
+
+        val, g = jax.value_and_grad(qp_of_area)(control["area"])
+        assert np.isfinite(float(val)), cls.__name__
+        assert np.all(np.isfinite(np.asarray(g))), cls.__name__

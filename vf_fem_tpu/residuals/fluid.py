@@ -25,6 +25,16 @@ from ..equations.smoothapprox import smooth_min_weight, wavg
 from .base import JaxResidual
 
 
+# NaN guard at full glottal closure: area -> 0 makes area**-2 -> inf,
+# whose reverse-mode gradient is NaN even where the primal is finite
+# (measured: shape sweeps that close the glottis through umesh returned
+# NaN d/d(umesh) while the loss stayed finite).  The floor is far below
+# any phonatory area (q at 1e-8 cm^2 is ~4e-5 cm^3/s), so it changes no
+# physics — closed nodes just carry zero area-sensitivity.
+# BernoulliAreaRatioSep already clamps via its explicit area_lb prop.
+_AREA_FLOOR = 1e-8
+
+
 def bernoulliq_from_psub_psep(psub, psep, area_sub, area_sep, rho):
     """Flow rate from the pressure drop (reference: ``fluid.py:17-27``)."""
     flow_sign = jnp.sign(psub - psep)
@@ -89,6 +99,7 @@ class BernoulliFixedSep(PredefinedFluidResidual):
         f = jnp.asarray(f)
 
         def bernoulli_qp(area, psub, psup, rho):
+            area = jnp.maximum(area, _AREA_FLOOR)
             area_sep = area[..., idx_sep : idx_sep + 1]
             q = bernoulliq_from_psub_psep(psub, psup, jnp.inf, area_sep, rho)
             p = bernoullip_from_q_psep(q, psup, area_sep, area, rho)
@@ -125,6 +136,7 @@ class BernoulliSmoothMinSep(PredefinedFluidResidual):
             return jax.nn.sigmoid(-1 * (s_ - ssep) / zeta_sep)
 
         def bernoulli_qp(area, psub, psup, rho, zeta_min, zeta_sep):
+            area = jnp.maximum(area, _AREA_FLOOR)
             wmin = smooth_min_weight(area, zeta_min, axis=-1)
             amin = wavg(s, area, wmin, axis=-1)[..., None]
             smin = wavg(s, s * jnp.ones_like(area), wmin, axis=-1)[..., None]
@@ -234,6 +246,7 @@ class BernoulliFlowFixedSep(PredefinedFluidResidual):
         f = jnp.asarray(f)
 
         def bernoulli_qp(area, qsub, psup, rho):
+            area = jnp.maximum(area, _AREA_FLOOR)
             area_sep = area[..., idx_sep : idx_sep + 1]
             p = bernoullip_from_q_psep(qsub, psup, area_sep, area, rho)
             p = f * p + (1 - f) * psup
