@@ -14,9 +14,12 @@ Usage: python benchmark_ddstep.py [--devices 8] [--steps 100] [--nx 72]
 
 import argparse
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():

@@ -149,6 +149,11 @@ def main():
         "jacobian_refresh_steps": 8,
         "stagnation_ratio": 0.5,
     }
+    # the f32 leg must run with x64 disabled: in an x64 process the f64
+    # numpy constants embedded in the model (coordinates, quadrature,
+    # BC masks) promote the f32 state mid-step and the scan carries
+    # mix dtypes
+    jax.config.update("jax_enable_x64", False)
     traj32, infos32, tps32, ct32 = run(tol_f32, np.float32)
     u32 = to_original(np.asarray(traj32["u"], dtype=np.float64))
     err32 = np.abs(u32[::8] - np.asarray(data["u"])).max()

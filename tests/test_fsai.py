@@ -212,3 +212,38 @@ if __name__ == "__main__":
         pref_final=np.asarray(traj["pref"])[-1],
     )
     print("wrote", GOLDEN)
+
+
+def test_fsai_statefile_roundtrip(tmp_path):
+    """FSAI trajectories persist through the reference-schema statefile
+    (acoustic state blocks included) and resume exactly."""
+    from vf_fem_tpu import statefile as sf
+
+    model = make_fsai_model(nx=8, ny=4)
+    ini = model.state0.copy()
+    ini[:] = 0.0
+    times = model.dt * np.arange(9)
+    path = str(tmp_path / "fsai.h5")
+    with sf.StateFile(model, path, mode="w") as f:
+        fin, info = forward.integrate(
+            model, f, ini, [model.control], model.prop, times
+        )
+        assert f.size == len(times)
+        stored = f.get_state(f.size - 1)
+        for k in ("u", "q", "pinc", "pref"):
+            np.testing.assert_allclose(
+                stored[k], fin[k], rtol=1e-12, atol=1e-14
+            )
+        # resume for 4 more steps and compare against one 12-step run
+        fin2, _ = forward.integrate_extend(
+            model, f, [model.control], model.dt * np.arange(5)
+        )
+    fin_full, _ = forward.integrate(
+        model, None, ini, [model.control], model.prop,
+        model.dt * np.arange(13), write=False,
+    )
+    for k in ("u", "pinc", "pref"):
+        np.testing.assert_allclose(
+            np.asarray(fin2[k]), np.asarray(fin_full[k]),
+            rtol=1e-9, atol=1e-12,
+        )
