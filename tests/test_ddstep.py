@@ -165,3 +165,59 @@ def test_dd_adjoint_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(g_dd["ymid"]), np.asarray(g_rf["ymid"]), rtol=1e-6
     )
+
+
+def test_dd_integrate_3d_extruded():
+    """The sharded loop handles extruded 3D tet meshes (3x3 nodal
+    blocks, one fluid channel per z-plane) unchanged: per-dof slab
+    ownership never assumes a vertex's dofs share a slab."""
+    from vf_fem_tpu.mesh import m5_mesh
+    from vf_fem_tpu.mesh.extrude import extrude_mesh
+    from vf_fem_tpu.parallel.ddstep import DDIntegrator
+
+    zs = np.linspace(0.0, 1.5, 3)
+    mesh = rcm_mesh(
+        extrude_mesh(m5_mesh("M5_CB_GA3", h=0.1, smooth_iters=5), zs)
+    )
+    model = load_fsi_model(
+        mesh, slr.KelvinVoigt, flr.BernoulliSmoothMinSep,
+        coupling="explicit", zs=zs,
+    )
+    ymax = mesh.coords[:, 1].max()
+    prop = model.prop
+    prop["emod"][:] = 5e4
+    prop["rho"][:] = 1.0
+    prop["eta"][:] = 3.0
+    prop["nu"][:] = 0.45
+    prop["ycontact"][:] = ymax + 0.05
+    prop["kcontact"][:] = 1e8
+    prop["rho_air"][:] = 1.1225e-3
+    prop["zeta_min"][:] = 1e-3
+    prop["zeta_sep"][:] = 1e-3
+    prop["ymid"][:] = ymax + 0.01
+    model.set_prop(prop)
+    model.control["psub"][:] = 8000.0
+    model.set_control(model.control)
+
+    state0 = {k: np.zeros_like(np.asarray(v))
+              for k, v in model.state0.sub_items()}
+    cs = forward._stack_controls(model, [model.control])
+    pd = model.prop_to_dict(model.prop)
+    times = np.asarray(5e-5 * np.arange(13))
+
+    fin_ref, traj_ref, _ = forward.integrate_pure(
+        model, state0, cs, pd, times, {"jacobian_refresh_steps": 1}
+    )
+    dd = DDIntegrator(
+        model, _mesh(4), params={"jacobian_refresh_steps": 6}
+    )
+    fin, traj, _ = dd.integrate_pure(state0, cs, pd, times)
+    u_ref = np.asarray(traj_ref["u"])
+    scale = np.abs(u_ref).max()
+    assert np.abs(np.asarray(traj["u"]) - u_ref).max() < 1e-9 * max(
+        scale, 1e-30
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj["q"]), np.asarray(traj_ref["q"]),
+        rtol=1e-8, atol=1e-12,
+    )
