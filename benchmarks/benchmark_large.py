@@ -156,6 +156,17 @@ def main():
     print(f"bf16-vs-f32 trajectory max|du| = {du:.3e};"
           f" speedup {tps_b16 / tps_btd:.2f}x")
 
+    # SPIKE-partitioned factorization: n_sup/S batched factor steps
+    # instead of n_sup sequential ones (single-chip form of the
+    # distributed solver; solve does ~1.5x the HBM traffic)
+    spike_tol = dict(btd16_tol, linear_solver="spike", spike_partitions=8)
+    tps_sp, fin_sp = run(
+        model, spike_tol, args.steps, "spike direct (8 slabs, bf16)"
+    )
+    du = np.abs(np.asarray(fin_sp["u"]) - np.asarray(fin_b16["u"])).max()
+    print(f"spike-vs-btd trajectory max|du| = {du:.3e};"
+          f" speedup {tps_sp / tps_b16:.2f}x")
+
     if ndof <= args.dense_limit:
         dense_tol = {"jacobian_refresh_steps": 8, "stagnation_ratio": 0.5}
         tps_d, fin_d = run(model, dense_tol, args.steps, "dense LU (stale)")

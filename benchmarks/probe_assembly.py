@@ -193,10 +193,16 @@ def main():
     Jc, Jf = jacb(u)
     plan = solid._get_bsb_plan()
 
-    fill = jax.jit(lambda Jc, Jf: bsb_mod.bsb_fill(plan, [Jc, Jf]))
+    # NOTE the consumer must be NONLINEAR in the scatter output: the
+    # timing harness reduces outputs with a plain sum, and XLA folds
+    # sum-of-scatter-add into sum-of-sources (measured: an impossible
+    # 0.001 ms).  Squaring defeats the rewrite (collisions interact).
+    fill = jax.jit(
+        lambda Jc, Jf: bsb_mod.bsb_fill(plan, [Jc, Jf]) ** 2
+    )
     t = timeit(fill, Jc, Jf, n=3)
-    print(f"bsb_fill:               {t*1e3:8.3f} ms")
-    blocks = fill(Jc, Jf)
+    print(f"bsb_fill (+square):     {t*1e3:8.3f} ms")
+    blocks = bsb_mod.bsb_fill(plan, [Jc, Jf])
 
     # fill variants: host-sorted targets + sorted segment_sum presum to
     # unique nnz slots + unique-index scatter — probing whether XLA's
@@ -227,11 +233,12 @@ def main():
         flat = flat.at[jnp.asarray(plan.diag_ones)].add(1.0)
         return flat.reshape(plan.nblk, plan.nb, plan.b, plan.b)
 
-    t = timeit(fill_sorted, Jc, Jf, n=3)
+    fill_sorted_sq = jax.jit(lambda Jc, Jf: fill_sorted(Jc, Jf) ** 2)
+    t = timeit(fill_sorted_sq, Jc, Jf, n=3)
     err = float(
         jnp.abs(fill_sorted(Jc, Jf) - blocks).max()
     )
-    print(f"fill sorted+unique:     {t*1e3:8.3f} ms (|diff| {err:.1e})")
+    print(f"fill sorted (+square):  {t*1e3:8.3f} ms (|diff| {err:.1e})")
 
     fac = jax.jit(lambda b: btd_mod.btd_factor(plan, b))
     t = timeit(fac, blocks, n=3)

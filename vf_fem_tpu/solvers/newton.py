@@ -150,6 +150,10 @@ def iterative_solve(
     rel_tol = params["relative_tolerance"]
     max_iter = params.get("maximum_iterations", 50)
     aitken = bool(params.get("aitken", False))
+    # stagnation stop, like newton_solve: in reduced precision the
+    # fixed-point residual bottoms out at the evaluation noise floor —
+    # without this the f32 Picard spins at max_iter every step
+    stag = params.get("stagnation_ratio", 0.98)
 
     if norm is None:
 
@@ -158,21 +162,25 @@ def iterative_solve(
             return jnp.sqrt(sum(jnp.sum(jnp.square(l)) for l in leaves))
 
     err0 = norm(assem_res(x0))
+    big = jnp.asarray(jnp.inf, dtype=err0.dtype)
 
     if not aitken:
 
         def cond(carry):
-            x, err, k = carry
+            x, err, err_prev, k = carry
             not_conv = jnp.logical_and(err >= abs_tol, err >= rel_tol * err0)
-            return jnp.logical_and(not_conv, k < max_iter)
+            progressing = err < stag * err_prev
+            return jnp.logical_and(
+                jnp.logical_and(not_conv, progressing), k < max_iter
+            )
 
         def body(carry):
-            x, err, k = carry
+            x, err, err_prev, k = carry
             x = step(x)
             err = norm(assem_res(x))
-            return (x, err, k + 1)
+            return (x, err, carry[1], k + 1)
 
-        x, err, k = jax.lax.while_loop(cond, body, (x0, err0, 0))
+        x, err, _, k = jax.lax.while_loop(cond, body, (x0, err0, big, 0))
     else:
         tmap = jax.tree_util.tree_map
 
@@ -189,12 +197,15 @@ def iterative_solve(
         d0 = tmap(jnp.zeros_like, x0)
 
         def cond(carry):
-            x, err, d_prev, w, k = carry
+            x, err, err_prev, d_prev, w, k = carry
             not_conv = jnp.logical_and(err >= abs_tol, err >= rel_tol * err0)
-            return jnp.logical_and(not_conv, k < max_iter)
+            progressing = err < stag * err_prev
+            return jnp.logical_and(
+                jnp.logical_and(not_conv, progressing), k < max_iter
+            )
 
         def body(carry):
-            x, err, d_prev, w, k = carry
+            x, err, err_prev, d_prev, w, k = carry
             d = tmap(lambda g, xi: g - xi, step(x), x)
             dd = tmap(lambda a, b: a - b, d, d_prev)
             denom = _dot(dd, dd)
@@ -209,10 +220,10 @@ def iterative_solve(
             w_new = jnp.clip(w_new, 0.05, 2.0)
             x = tmap(lambda xi, di: xi + w_new * di, x, d)
             err = norm(assem_res(x))
-            return (x, err, d, w_new, k + 1)
+            return (x, err, carry[1], d, w_new, k + 1)
 
-        x, err, _, _, k = jax.lax.while_loop(
-            cond, body, (x0, err0, d0, w0, 0)
+        x, err, _, _, _, k = jax.lax.while_loop(
+            cond, body, (x0, err0, big, d0, w0, 0)
         )
     info = SolveInfo(
         num_iter=k, abs_err=err, rel_err=err / jnp.where(err0 == 0, 1.0, err0)
