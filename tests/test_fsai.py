@@ -35,7 +35,13 @@ def make_fsai_model(nx=10, ny=5, num_tube=12):
     prop["rho"][:] = 1.0
     prop["eta"][:] = 3.0
     prop["nu"][:] = 0.45
-    prop["ycontact"][:] = ymax + 0.05
+    # contact plane BELOW the channel midline: collision stops closure
+    # while the glottal area is still positive (area 2*(ymid-ycontact) =
+    # 0.01 at full contact), as in phonation.  With contact above ymid
+    # the fold would close straight through the midline into negative
+    # areas — an unphysical regime the earlier golden accidentally
+    # encoded.
+    prop["ycontact"][:] = ymax + 0.005
     prop["kcontact"][:] = 1e8
     prop["rho_air"][:] = 1.1225e-3
     prop["zeta_min"][:] = 1e-3

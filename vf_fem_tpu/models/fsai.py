@@ -26,6 +26,12 @@ within the step):
 
 The acoustic time step is geometry-locked (``dt = 2 L / (N c)``); drive
 the model at that dt (``model.dt``), like the reference FSAI did.
+
+Configure the contact plane BELOW the channel midline
+(``ycontact < ymid``) so collision stops closure while the glottal area
+is still positive, as in phonation: letting the fold cross the midline
+puts the fluid in a clamped-area regime where the source-tract fixed
+point can diverge.
 """
 
 from __future__ import annotations
