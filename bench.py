@@ -148,13 +148,18 @@ def measure_stream_bound(device, nbytes=256 * 1024 * 1024):
     import jax.numpy as jnp
 
     n = nbytes // 4
-    x = jax.device_put(jnp.zeros(n, jnp.float32), device)
+    x = jax.device_put(
+        jnp.linspace(-1.0, 1.0, n, dtype=jnp.float32), device
+    )
     n_inner = 20
 
     @jax.jit
     def run(x):
         def body(c, _):
-            return c + jnp.sum(x + (c * 1e-38)), None
+            # |x + c*eps| blocks both loop-invariant hoisting of the
+            # reduction and the sum(x + b) = sum(x) + n*b rewrite (a
+            # plain carry-perturbed sum measured an impossible 171 TB/s)
+            return c + jnp.sum(jnp.abs(x + c * 1e-20)), None
 
         c, _ = jax.lax.scan(body, jnp.zeros(()), None, length=n_inner)
         return c
