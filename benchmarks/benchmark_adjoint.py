@@ -30,9 +30,12 @@ def main():
     parser.add_argument("--steps", type=int, default=100)
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--large", action="store_true",
-                        help="23.7k-dof mesh through banded+btd (the"
-                        " reverse sweep uses the transposed Thomas"
-                        " factors, solvers/btd.btd_solve_t)")
+                        help="large mesh through banded+btd (the"
+                        " reverse sweep reuses the forward's carried"
+                        " factors with exact-J^T refinement)")
+    parser.add_argument("--h", type=float, default=0.006,
+                        help="mesh size for --large (0.006 = 23.7k"
+                        " dofs, 0.003 = 94.8k)")
     args = parser.parse_args()
 
     import jax
@@ -45,7 +48,7 @@ def main():
     if args.large:
         from benchmark_large import build_model
 
-        model = build_model(0.006)
+        model = build_model(args.h)
     else:
         model = setup_model()
     state0_bv, control, prop_bv = setup_transient_args(model)

@@ -253,3 +253,22 @@ def test_fsai_statefile_roundtrip(tmp_path):
             np.asarray(fin2[k]), np.asarray(fin_full[k]),
             rtol=1e-9, atol=1e-12,
         )
+
+
+def test_fsai_fixed_point_safeguard_bounds_bad_config():
+    """Outside the supported configuration (contact above the midline:
+    the fold closes through ymid into the clamped-area regime) the
+    interactive fixed point can stop contracting; the safeguard then
+    falls back to the one-step lagged evaluation, keeping the run
+    bounded instead of blowing up within a step (pre-safeguard this
+    configuration reached |u| ~ 1e46)."""
+    model = make_fsai_model(nx=8, ny=4)
+    prop = model.prop
+    ymax = float(np.asarray(model.solid._Xref)[:, 1].max())
+    prop["ycontact"][:] = ymax + 0.05  # above ymid: unsupported regime
+    model.set_prop(prop)
+    (fin, traj, infos), times = _run(model, 160)
+    q = np.asarray(traj["q"])
+    u = np.asarray(traj["u"])
+    assert np.all(np.isfinite(q)) and np.all(np.isfinite(u))
+    assert np.abs(q).max() < 1e8 and np.abs(u).max() < 1e3

@@ -39,6 +39,7 @@ from __future__ import annotations
 from typing import Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .. import blocks as bv
@@ -121,11 +122,24 @@ class ExplicitFSAIModel(BaseTransientModel):
                     {"area": area, **ext, "psup": psup}, fl_prop, proto
                 )
 
-            q = jnp.squeeze(state0["q"])
+            q0 = jnp.squeeze(state0["q"])
+            qp0 = fluid_at(q0)
+            r0 = jnp.abs(jnp.squeeze(qp0["q"]) - q0)
+            q = q0
             for _ in range(n_interact):
                 qp = fluid_at(q)
                 q = relax * jnp.squeeze(qp["q"]) + (1.0 - relax) * q
             qp = fluid_at(q)
+            # safeguard: if the damped iteration failed to contract (the
+            # clamped-area regime outside the supported configuration,
+            # see the module docstring), fall back to the one-step
+            # lagged-flow evaluation — bounded per step instead of an
+            # in-step runaway
+            r_fin = jnp.abs(jnp.squeeze(qp["q"]) - q)
+            ok = r_fin <= jnp.maximum(r0, 1e-12 * jnp.abs(q0) + 1e-30)
+            qp = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(ok, a, b), qp, qp0
+            )
             return qp, pinc_1
 
         def step_with(solid_solve, state1_guess, state0, control, prop,
