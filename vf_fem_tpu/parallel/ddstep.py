@@ -312,9 +312,18 @@ class DDIntegrator:
         axis: str = "shard",
         use_remat: bool = False,
     ):
+        from ..models.transient import (
+            ExplicitFSIModel as _Exp,
+            ImplicitFSIModel as _Imp,
+        )
+
         assert not model.solid._has_shape, (
             "DD stepping does not support shape (umesh) parameters"
         )
+        assert isinstance(model, (_Exp, _Imp)), (
+            "DD stepping supports the transient FSI models"
+        )
+        self._implicit = isinstance(model, _Imp)
         self.model = model
         self.mesh = mesh
         self.axis = axis
@@ -705,6 +714,103 @@ class DDIntegrator:
                 fl_control, prop_f, {"q": state["q"], "p": state["p"]}
             )
             return {"u": u1, "v": v1, "a": a1, **qp1}, info
+
+        # ---- implicit (Picard) coupled step ------------------------------
+        def step_loc_implicit(pst, state, fac_d, control, prop, dt):
+            """Sharded analog of ``ImplicitFSIModel.step_pure_stale``:
+            fixed point between the sharded solid chord Newton (seeing
+            the CURRENT iterate's fluid pressure) and the replicated
+            fluid, converged on the psum-reduced coupled update norm.
+            Forward-only, like the single-chip implicit at large mesh
+            (its coupled-IFT adjoint builds a dense coupled Jacobian)."""
+            prop_s = {k: prop[k] for k in solid_keys}
+            prop_f = {k: prop[k] for k in fluid_keys}
+            ext0 = tuple(
+                jnp.concatenate([state[k], halo_right(state[k])])
+                for k in ("u", "v", "a")
+            )
+            pst_keys = tuple(sorted(pst))
+            pst_vals = tuple(pst[k] for k in pst_keys)
+            ymid = prop["ymid"][0]
+
+            def fluid_of(u1, q_x, p_x):
+                vals = (
+                    2.0 * (ymid - pst["fl_y"][0] - u1[pst["fl_udof"][0]])
+                ) * pst["fl_mask"][0]
+                contrib = jnp.zeros(n_fl + 1, u1.dtype).at[
+                    pst["fl_idx"][0]
+                ].add(vals)
+                area = jax.lax.psum(contrib[:n_fl], axis)
+                fl_control = {"area": area}
+                fl_control.update({k: control[k] for k in control_keys})
+                return fluid.solve_pure(
+                    fl_control, prop_f, {"q": q_x, "p": p_x}
+                )
+
+            def picard(x):
+                u_x, q_x, p_x = x
+                p1 = pressure_to_solid(p_x)
+                u1, _ = solve_u1_dd(
+                    pst_keys, u_x, fac_d, pst_vals, ext0, p1, prop_s, dt
+                )
+                qp = fluid_of(u1, q_x, p_x)
+                return (u1, qp["q"], qp["p"])
+
+            def delta(x_new, x):
+                # sharded u pieces psum; replicated q/p counted once
+                du = jax.lax.psum(
+                    jnp.sum((x_new[0] - x[0]) ** 2), axis
+                )
+                dq = jnp.sum((x_new[1] - x[1]) ** 2)
+                dp = jnp.sum((x_new[2] - x[2]) ** 2)
+                return jnp.sqrt(du + dq + dp)
+
+            u_pred = (
+                state["u"] + dt * state["v"] + 0.5 * dt * dt * state["a"]
+            )
+            x0 = (u_pred, state["q"], state["p"])
+            x1 = picard(x0)
+            err0 = delta(x1, x0)
+            abs_tol = params_d.get("fixedpoint_absolute_tolerance", 1e-10)
+            rel_tol = params_d.get("fixedpoint_relative_tolerance", 1e-12)
+            max_fp = int(params_d.get("fixedpoint_max_iterations", 50))
+            stag = params_d.get("stagnation_ratio", 0.9)
+            big = jnp.asarray(jnp.inf, dtype=err0.dtype)
+
+            def cond(carry):
+                x, err, err_prev, k = carry
+                not_conv = jnp.logical_and(
+                    err >= abs_tol, err >= rel_tol * err0
+                )
+                return jnp.logical_and(
+                    jnp.logical_and(not_conv, err < stag * err_prev),
+                    k < max_fp,
+                )
+
+            def body(carry):
+                x, err, err_prev, k = carry
+                x_new = picard(x)
+                return (x_new, delta(x_new, x), err, k + 1)
+
+            x, err, _, k = jax.lax.while_loop(
+                cond, body, (x1, err0, big, 1)
+            )
+            u1, q1, p1f = x
+            v1 = newmark.newmark_v(
+                u1, state["u"], state["v"], state["a"], dt
+            )
+            a1 = newmark.newmark_a(
+                u1, state["u"], state["v"], state["a"], dt
+            )
+            info = SolveInfo(
+                num_iter=k,
+                abs_err=err,
+                rel_err=err / jnp.where(err0 == 0, 1.0, err0),
+            )
+            return {"u": u1, "v": v1, "a": a1, "q": q1, "p": p1f}, info
+
+        if self._implicit:
+            step_loc = step_loc_implicit
 
         def factorize_step(pst, state, control, prop, dt):
             prop_s = {k: prop[k] for k in solid_keys}
