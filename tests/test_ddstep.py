@@ -277,3 +277,31 @@ def test_dd_integrate_implicit_matches_single_device():
         np.asarray(traj["p"]) - np.asarray(traj_ref["p"])
     ).max() < 1e-6 * max(p_scale, 1e-30)
     assert np.all(np.asarray(infos.num_iter) <= 50)
+
+
+def test_dd_bf16_factors():
+    """bf16-stored SPIKE factors in the sharded loop (the bandwidth
+    lever for real multi-chip runs) keep the chord-certified trajectory
+    within the usual bf16 envelope of the f32-factor run."""
+    from vf_fem_tpu.parallel.ddstep import DDIntegrator
+
+    model = _make_model()
+    state0 = {k: np.zeros_like(np.asarray(v))
+              for k, v in model.state0.sub_items()}
+    cs = forward._stack_controls(model, [model.control])
+    pd = model.prop_to_dict(model.prop)
+    times = np.asarray(5e-5 * np.arange(17))
+
+    dd32 = DDIntegrator(
+        model, _mesh(4), params={"jacobian_refresh_steps": 8}
+    )
+    _, t32, _ = dd32.integrate_pure(state0, cs, pd, times)
+    dd16 = DDIntegrator(
+        model, _mesh(4),
+        params={"jacobian_refresh_steps": 8,
+                "btd_store_dtype": "bfloat16"},
+    )
+    _, t16, _ = dd16.integrate_pure(state0, cs, pd, times)
+    du = np.abs(np.asarray(t16["u"]) - np.asarray(t32["u"])).max()
+    scale = np.abs(np.asarray(t32["u"])).max()
+    assert np.isfinite(du) and du < 1e-5 * max(scale, 1e-30)
