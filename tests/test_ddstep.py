@@ -305,3 +305,64 @@ def test_dd_bf16_factors():
     du = np.abs(np.asarray(t16["u"]) - np.asarray(t32["u"])).max()
     scale = np.abs(np.asarray(t32["u"])).max()
     assert np.isfinite(du) and du < 1e-5 * max(scale, 1e-30)
+
+
+def test_dd_integrate_fsai_matches_single_device():
+    """The sharded loop also runs the two-way FSAI coupling: solid slabs
+    sharded, the WRA tract and source-tract fixed point replicated on
+    the psum'd area — every transient coupling family is multi-chip."""
+    from vf_fem_tpu.load import load_fsai_model
+    from vf_fem_tpu.parallel.ddstep import DDIntegrator
+
+    mesh = rcm_mesh(vocal_fold_mesh(40, 20))
+    ymax = mesh.coords[:, 1].max()
+    model = load_fsai_model(
+        mesh, slr.KelvinVoigt, flr.BernoulliSmoothMinSep, num_tube=12
+    )
+    prop = model.prop
+    prop["emod"][:] = 5e4
+    prop["rho"][:] = 1.0
+    prop["eta"][:] = 3.0
+    prop["nu"][:] = 0.45
+    prop["ycontact"][:] = ymax + 0.005
+    prop["kcontact"][:] = 1e8
+    prop["rho_air"][:] = 1.1225e-3
+    prop["zeta_min"][:] = 1e-3
+    prop["zeta_sep"][:] = 1e-3
+    prop["ymid"][:] = ymax + 0.01
+    n = model.acoustic.num_tube
+    prop["area"][:] = np.concatenate(
+        [np.full(n // 2, 0.6), np.full(n - n // 2, 2.6)]
+    )
+    prop["proploss"][:] = 1.0
+    model.set_prop(prop)
+    model.control["psub"][:] = 8000.0
+    model.set_control(model.control)
+
+    state0 = {k: np.zeros_like(np.asarray(v))
+              for k, v in model.state0.sub_items()}
+    cs = forward._stack_controls(model, [model.control])
+    pd = model.prop_to_dict(model.prop)
+    times = model.dt * np.arange(41)
+
+    fin_ref, traj_ref, _ = forward.integrate_pure(
+        model, state0, cs, pd, times, {"jacobian_refresh_steps": 1}
+    )
+    dd = DDIntegrator(
+        model, _mesh(4), params={"jacobian_refresh_steps": 8}
+    )
+    fin, traj, infos = dd.integrate_pure(state0, cs, pd, times)
+
+    u_ref = np.asarray(traj_ref["u"])
+    scale = np.abs(u_ref).max()
+    assert np.abs(np.asarray(traj["u"]) - u_ref).max() < 1e-9 * max(
+        scale, 1e-30
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj["q"]), np.asarray(traj_ref["q"]),
+        rtol=1e-8, atol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj["pref"]), np.asarray(traj_ref["pref"]),
+        rtol=1e-8, atol=1e-10,
+    )

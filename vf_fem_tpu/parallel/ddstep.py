@@ -247,9 +247,10 @@ def plan_dd(model, n_shards: int) -> DDPlan:
     ).astype(np.int32)
 
     # --- fluid interface ownership (by the y-displacement dof) -------------
-    sdofs = np.asarray(model._solid_dofs)
-    fdofs_fl = np.asarray(model._fluid_dofs)
-    n_fl = model.fsimap.N_FLUID
+    fsi_like = getattr(model, "fsi", model)  # FSAI wraps an FSI model
+    sdofs = np.asarray(fsi_like._solid_dofs)
+    fdofs_fl = np.asarray(fsi_like._fluid_dofs)
+    n_fl = fsi_like.fsimap.N_FLUID
     own = [[] for _ in range(S)]
     for vk, fk in zip(sdofs, fdofs_fl):
         ydof = vk * dim + 1
@@ -316,14 +317,16 @@ class DDIntegrator:
             ExplicitFSIModel as _Exp,
             ImplicitFSIModel as _Imp,
         )
+        from ..models.fsai import ExplicitFSAIModel as _Fsai
 
         assert not model.solid._has_shape, (
             "DD stepping does not support shape (umesh) parameters"
         )
-        assert isinstance(model, (_Exp, _Imp)), (
-            "DD stepping supports the transient FSI models"
+        assert isinstance(model, (_Exp, _Imp, _Fsai)), (
+            "DD stepping supports the transient FSI/FSAI models"
         )
         self._implicit = isinstance(model, _Imp)
+        self._fsai = isinstance(model, _Fsai)
         self.model = model
         self.mesh = mesh
         self.axis = axis
@@ -369,11 +372,21 @@ class DDIntegrator:
         n_fl = plan.n_fl
         cell_elem = R.cell_elem_fn()
         facet_elem = R.facet_elem_fn()
-        solid_keys = model._solid_prop_keys
-        fluid_keys = model._fluid_prop_keys
-        control_keys = model._control_keys
-        sdofs = np.asarray(model._solid_dofs)
-        fdofs = np.asarray(model._fluid_dofs)
+        fsi_like = getattr(model, "fsi", model)
+        solid_keys = fsi_like._solid_prop_keys
+        fluid_keys = fsi_like._fluid_prop_keys
+        control_keys = (
+            model._ext_control_keys if self._fsai else model._control_keys
+        )
+        sdofs = np.asarray(fsi_like._solid_dofs)
+        fdofs = np.asarray(fsi_like._fluid_dofs)
+        if self._fsai:
+            from ..models.acoustic import make_wra_parts
+
+            ac_keys = model._ac_prop_keys
+            wra_half, wra_full, wra_coeffs = make_wra_parts(
+                model.acoustic.num_tube
+            )
         col_idx = jnp.asarray(plan.col_idx)
         K = int(params_d.get("jacobian_refresh_steps", 1))
         store_dtype = params_d.get("btd_store_dtype")
@@ -809,8 +822,80 @@ class DDIntegrator:
             )
             return {"u": u1, "v": v1, "a": a1, "q": q1, "p": p1f}, info
 
+        # ---- FSAI (interactive source-tract) coupled step ----------------
+        def step_loc_fsai(pst, state, fac_d, control, prop, dt):
+            """Sharded analog of ``ExplicitFSAIModel.step_pure``: the
+            solid slab solve is sharded; the WRA tract and the damped
+            source-tract fixed point run replicated on the psum'd
+            surface area (mirrors ``models/fsai.solve_flow`` incl. the
+            non-contraction safeguard)."""
+            prop_s = {k: prop[k] for k in solid_keys}
+            prop_f = {k: prop[k] for k in fluid_keys}
+            ac_prop = {k: prop[k] for k in ac_keys}
+            p1 = pressure_to_solid(state["p"])
+            ext0 = tuple(
+                jnp.concatenate([state[k], halo_right(state[k])])
+                for k in ("u", "v", "a")
+            )
+            u_guess = (
+                state["u"] + dt * state["v"] + 0.5 * dt * dt * state["a"]
+            )
+            pst_keys = tuple(sorted(pst))
+            pst_vals = tuple(pst[k] for k in pst_keys)
+            u1, info = solve_u1_dd(
+                pst_keys, u_guess, fac_d, pst_vals, ext0, p1, prop_s, dt
+            )
+            v1 = newmark.newmark_v(
+                u1, state["u"], state["v"], state["a"], dt
+            )
+            a1 = newmark.newmark_a(
+                u1, state["u"], state["v"], state["a"], dt
+            )
+            ymid = prop["ymid"][0]
+            vals = (
+                2.0 * (ymid - pst["fl_y"][0] - u1[pst["fl_udof"][0]])
+            ) * pst["fl_mask"][0]
+            contrib = jnp.zeros(n_fl + 1, u1.dtype).at[
+                pst["fl_idx"][0]
+            ].add(vals)
+            area = jax.lax.psum(contrib[:n_fl], axis)
+
+            pinc_1 = wra_half(state["pinc"], state["pref"], ac_prop)
+            z0, b2_0 = wra_coeffs(pinc_1, ac_prop)
+            proto = {"q": state["q"], "p": state["p"]}
+            ext = {k: control[k] for k in control_keys}
+
+            def fluid_at(q):
+                psup = (z0 * q + 2.0 * b2_0).reshape((1,))
+                return fluid.solve_pure(
+                    {"area": area, **ext, "psup": psup}, prop_f, proto
+                )
+
+            q0 = jnp.squeeze(state["q"])
+            qp0 = fluid_at(q0)
+            r0 = jnp.abs(jnp.squeeze(qp0["q"]) - q0)
+            q = q0
+            for _ in range(8):
+                qp = fluid_at(q)
+                q = 0.7 * jnp.squeeze(qp["q"]) + 0.3 * q
+            qp = fluid_at(q)
+            r_fin = jnp.abs(jnp.squeeze(qp["q"]) - q)
+            ok = r_fin <= jnp.maximum(r0, 1e-12 * jnp.abs(q0) + 1e-30)
+            qp = jax.tree_util.tree_map(
+                lambda a_, b_: jnp.where(ok, a_, b_), qp, qp0
+            )
+            pinc1, pref1 = wra_full(
+                pinc_1, state["pinc"], state["pref"], qp["q"], ac_prop
+            )
+            return {
+                "u": u1, "v": v1, "a": a1, **qp,
+                "pinc": pinc1, "pref": pref1,
+            }, info
+
         if self._implicit:
             step_loc = step_loc_implicit
+        if self._fsai:
+            step_loc = step_loc_fsai
 
         def factorize_step(pst, state, control, prop, dt):
             prop_s = {k: prop[k] for k in solid_keys}
@@ -897,6 +982,9 @@ class DDIntegrator:
             "u": P(None, axis_), "v": P(None, axis_), "a": P(None, axis_),
             "q": P(), "p": P(),
         }
+        if self._fsai:
+            state_spec.update({"pinc": P(), "pref": P()})
+            traj_spec.update({"pinc": P(), "pref": P()})
         info_spec = SolveInfo(num_iter=P(), abs_err=P(), rel_err=P())
 
         def global_fn(state0, controls_stacked, prop, times):
