@@ -307,14 +307,10 @@ def test_dd_bf16_factors():
     assert np.isfinite(du) and du < 1e-5 * max(scale, 1e-30)
 
 
-def test_dd_integrate_fsai_matches_single_device():
-    """The sharded loop also runs the two-way FSAI coupling: solid slabs
-    sharded, the WRA tract and source-tract fixed point replicated on
-    the psum'd area — every transient coupling family is multi-chip."""
+def _make_fsai_model(nx=40, ny=20):
     from vf_fem_tpu.load import load_fsai_model
-    from vf_fem_tpu.parallel.ddstep import DDIntegrator
 
-    mesh = rcm_mesh(vocal_fold_mesh(40, 20))
+    mesh = rcm_mesh(vocal_fold_mesh(nx, ny))
     ymax = mesh.coords[:, 1].max()
     model = load_fsai_model(
         mesh, slr.KelvinVoigt, flr.BernoulliSmoothMinSep, num_tube=12
@@ -338,7 +334,16 @@ def test_dd_integrate_fsai_matches_single_device():
     model.set_prop(prop)
     model.control["psub"][:] = 8000.0
     model.set_control(model.control)
+    return model
 
+
+def test_dd_integrate_fsai_matches_single_device():
+    """The sharded loop also runs the two-way FSAI coupling: solid slabs
+    sharded, the WRA tract and source-tract fixed point replicated on
+    the psum'd area — every transient coupling family is multi-chip."""
+    from vf_fem_tpu.parallel.ddstep import DDIntegrator
+
+    model = _make_fsai_model(40, 20)
     state0 = {k: np.zeros_like(np.asarray(v))
               for k, v in model.state0.sub_items()}
     cs = forward._stack_controls(model, [model.control])
@@ -366,3 +371,36 @@ def test_dd_integrate_fsai_matches_single_device():
         np.asarray(traj["pref"]), np.asarray(traj_ref["pref"]),
         rtol=1e-8, atol=1e-10,
     )
+
+
+def test_dd_fsai_adjoint_matches_single_device():
+    """jax.grad through the sharded FSAI integrate (IFT vjp on the slab
+    solves + the unrolled source-tract fixed point) agrees with the
+    single-device gradient."""
+    from vf_fem_tpu.parallel.ddstep import DDIntegrator
+
+    model = _make_fsai_model(24, 12)
+    state0 = {k: np.zeros_like(np.asarray(v))
+              for k, v in model.state0.sub_items()}
+    cs = forward._stack_controls(model, [model.control])
+    pd = model.prop_to_dict(model.prop)
+    times = model.dt * np.arange(21)
+
+    dd = DDIntegrator(
+        model, _mesh(4), params={"jacobian_refresh_steps": 4}
+    )
+
+    def dd_loss(p):
+        _, traj, _ = dd.integrate_pure(state0, cs, p, times)
+        return jnp.sum(traj["u"] ** 2) + 1e-8 * jnp.sum(traj["pref"] ** 2)
+
+    def ref_loss(p):
+        _, traj, _ = forward.integrate_pure(
+            model, state0, cs, p, times, {"jacobian_refresh_steps": 1}
+        )
+        return jnp.sum(traj["u"] ** 2) + 1e-8 * jnp.sum(traj["pref"] ** 2)
+
+    g_dd = np.asarray(jax.grad(dd_loss)(pd)["emod"])
+    g_rf = np.asarray(jax.grad(ref_loss)(pd)["emod"])
+    rel = np.abs(g_dd - g_rf).max() / (np.abs(g_rf).max() + 1e-30)
+    assert rel < 1e-6, f"sharded FSAI adjoint mismatch: {rel}"
