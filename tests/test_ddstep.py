@@ -225,8 +225,7 @@ def test_dd_integrate_3d_extruded():
 
 def test_dd_integrate_implicit_matches_single_device():
     """The sharded Picard (implicit-coupling) step reproduces the
-    single-device implicit trajectory (forward-only, like the
-    single-chip implicit at large mesh)."""
+    single-device implicit trajectory."""
     from vf_fem_tpu.parallel.ddstep import DDIntegrator
 
     mesh = rcm_mesh(vocal_fold_mesh(40, 20))
@@ -277,6 +276,72 @@ def test_dd_integrate_implicit_matches_single_device():
         np.asarray(traj["p"]) - np.asarray(traj_ref["p"])
     ).max() < 1e-6 * max(p_scale, 1e-30)
     assert np.all(np.asarray(infos.num_iter) <= 50)
+
+
+def test_dd_implicit_adjoint_matches_single_device():
+    """The sharded Picard step carries a fixed-point IFT adjoint
+    (lam <- xbar + F_x^T lam at the converged coupled point); gradients
+    match the single-chip implicit's dense coupled-LU adjoint and a
+    finite-difference directional derivative."""
+    from vf_fem_tpu.parallel.ddstep import DDIntegrator
+
+    mesh = rcm_mesh(vocal_fold_mesh(24, 12))
+    ymax = mesh.coords[:, 1].max()
+    model = load_fsi_model(
+        mesh, slr.KelvinVoigt, flr.BernoulliSmoothMinSep,
+        coupling="implicit",
+    )
+    prop = model.prop
+    prop["emod"][:] = 5e4
+    prop["rho"][:] = 1.0
+    prop["eta"][:] = 3.0
+    prop["nu"][:] = 0.45
+    prop["ycontact"][:] = ymax + 0.05
+    prop["kcontact"][:] = 1e8
+    prop["rho_air"][:] = 1.1225e-3
+    prop["zeta_min"][:] = 1e-3
+    prop["zeta_sep"][:] = 1e-3
+    prop["ymid"][:] = ymax + 0.01
+    model.set_prop(prop)
+    model.control["psub"][:] = 8000.0
+    model.set_control(model.control)
+
+    state0 = {k: np.zeros_like(np.asarray(v))
+              for k, v in model.state0.sub_items()}
+    cs = forward._stack_controls(model, [model.control])
+    pd = model.prop_to_dict(model.prop)
+    times = np.asarray(5e-5 * np.arange(11))
+
+    dd = DDIntegrator(
+        model, _mesh(4), params={"jacobian_refresh_steps": 4}
+    )
+
+    def dd_loss(p):
+        fin, traj, _ = dd.integrate_pure(state0, cs, p, times)
+        return jnp.sum(fin["u"] ** 2) * 1e4 + 1e-6 * jnp.sum(traj["q"] ** 2)
+
+    def ref_loss(p):
+        fin, traj, _ = forward.integrate_pure(
+            model, state0, cs, p, times, {"jacobian_refresh_steps": 1}
+        )
+        return jnp.sum(fin["u"] ** 2) * 1e4 + 1e-6 * jnp.sum(traj["q"] ** 2)
+
+    v_dd, g_dd = jax.value_and_grad(dd_loss)(pd)
+    v_rf, g_rf = jax.value_and_grad(ref_loss)(pd)
+    np.testing.assert_allclose(float(v_dd), float(v_rf), rtol=1e-8)
+    ge, gr = np.asarray(g_dd["emod"]), np.asarray(g_rf["emod"])
+    assert np.abs(ge - gr).max() < 1e-5 * np.abs(gr).max()
+    gy, gyr = np.asarray(g_dd["ymid"]), np.asarray(g_rf["ymid"])
+    assert np.abs(gy - gyr).max() < 1e-6 * np.abs(gyr).max()
+
+    eps = 1e-6
+    pd_p = dict(pd)
+    pd_p["emod"] = pd["emod"] * (1 + eps)
+    pd_m = dict(pd)
+    pd_m["emod"] = pd["emod"] * (1 - eps)
+    fd = (float(dd_loss(pd_p)) - float(dd_loss(pd_m))) / (2 * eps)
+    an = float(np.sum(ge * np.asarray(pd["emod"])))
+    assert abs(fd - an) < 1e-6 * abs(fd)
 
 
 def test_dd_bf16_factors():

@@ -729,61 +729,55 @@ class DDIntegrator:
             return {"u": u1, "v": v1, "a": a1, **qp1}, info
 
         # ---- implicit (Picard) coupled step ------------------------------
-        def step_loc_implicit(pst, state, fac_d, control, prop, dt):
-            """Sharded analog of ``ImplicitFSIModel.step_pure_stale``:
-            fixed point between the sharded solid chord Newton (seeing
-            the CURRENT iterate's fluid pressure) and the replicated
-            fluid, converged on the psum-reduced coupled update norm.
-            Forward-only, like the single-chip implicit at large mesh
-            (its coupled-IFT adjoint builds a dense coupled Jacobian)."""
+        def _picard_map(pst, x, fac_d, ext0, control_t, prop, dt):
+            """One pass of the coupled fixed-point map: sharded solid
+            chord Newton (seeing the iterate's fluid pressure) then the
+            replicated fluid on the psum'd area.  Differentiable — the
+            solid solve carries its stale-factor IFT vjp, and
+            ``fluid.solve_pure`` zeroes its proto, so the map's state
+            derivative flows only through the pressure."""
             prop_s = {k: prop[k] for k in solid_keys}
             prop_f = {k: prop[k] for k in fluid_keys}
-            ext0 = tuple(
-                jnp.concatenate([state[k], halo_right(state[k])])
-                for k in ("u", "v", "a")
-            )
+            ymid = prop["ymid"][0]
+            u_x, q_x, p_x = x
+            p1 = pressure_to_solid(p_x)
             pst_keys = tuple(sorted(pst))
             pst_vals = tuple(pst[k] for k in pst_keys)
-            ymid = prop["ymid"][0]
+            u1, _ = solve_u1_dd(
+                pst_keys, u_x, fac_d, pst_vals, ext0, p1, prop_s, dt
+            )
+            vals = (
+                2.0 * (ymid - pst["fl_y"][0] - u1[pst["fl_udof"][0]])
+            ) * pst["fl_mask"][0]
+            contrib = jnp.zeros(n_fl + 1, u1.dtype).at[
+                pst["fl_idx"][0]
+            ].add(vals)
+            area = jax.lax.psum(contrib[:n_fl], axis)
+            fl_control = {"area": area}
+            fl_control.update({k: control_t[k] for k in control_keys})
+            qp = fluid.solve_pure(fl_control, prop_f, {"q": q_x, "p": p_x})
+            return (u1, qp["q"], qp["p"])
 
-            def fluid_of(u1, q_x, p_x):
-                vals = (
-                    2.0 * (ymid - pst["fl_y"][0] - u1[pst["fl_udof"][0]])
-                ) * pst["fl_mask"][0]
-                contrib = jnp.zeros(n_fl + 1, u1.dtype).at[
-                    pst["fl_idx"][0]
-                ].add(vals)
-                area = jax.lax.psum(contrib[:n_fl], axis)
-                fl_control = {"area": area}
-                fl_control.update({k: control[k] for k in control_keys})
-                return fluid.solve_pure(
-                    fl_control, prop_f, {"q": q_x, "p": p_x}
-                )
+        def _coupled_delta(x_new, x):
+            # sharded u pieces psum; replicated q/p counted once
+            du = jax.lax.psum(jnp.sum((x_new[0] - x[0]) ** 2), axis)
+            dq = jnp.sum((x_new[1] - x[1]) ** 2)
+            dp = jnp.sum((x_new[2] - x[2]) ** 2)
+            return jnp.sqrt(du + dq + dp)
+
+        @partial(jax.custom_vjp, nondiff_argnums=(0,))
+        def picard_solve_dd(pst_keys, x0, fac_d, pst_vals, ext0,
+                            control_t, prop, dt):
+            """Coupled Picard iteration to its fixed point, converged on
+            the psum-reduced coupled update norm with a stagnation stop
+            (sharded analog of ``ImplicitFSIModel.step_pure_stale``)."""
+            pst = dict(zip(pst_keys, pst_vals))
 
             def picard(x):
-                u_x, q_x, p_x = x
-                p1 = pressure_to_solid(p_x)
-                u1, _ = solve_u1_dd(
-                    pst_keys, u_x, fac_d, pst_vals, ext0, p1, prop_s, dt
-                )
-                qp = fluid_of(u1, q_x, p_x)
-                return (u1, qp["q"], qp["p"])
+                return _picard_map(pst, x, fac_d, ext0, control_t, prop, dt)
 
-            def delta(x_new, x):
-                # sharded u pieces psum; replicated q/p counted once
-                du = jax.lax.psum(
-                    jnp.sum((x_new[0] - x[0]) ** 2), axis
-                )
-                dq = jnp.sum((x_new[1] - x[1]) ** 2)
-                dp = jnp.sum((x_new[2] - x[2]) ** 2)
-                return jnp.sqrt(du + dq + dp)
-
-            u_pred = (
-                state["u"] + dt * state["v"] + 0.5 * dt * dt * state["a"]
-            )
-            x0 = (u_pred, state["q"], state["p"])
             x1 = picard(x0)
-            err0 = delta(x1, x0)
+            err0 = _coupled_delta(x1, x0)
             abs_tol = params_d.get("fixedpoint_absolute_tolerance", 1e-10)
             rel_tol = params_d.get("fixedpoint_relative_tolerance", 1e-12)
             max_fp = int(params_d.get("fixedpoint_max_iterations", 50))
@@ -803,10 +797,113 @@ class DDIntegrator:
             def body(carry):
                 x, err, err_prev, k = carry
                 x_new = picard(x)
-                return (x_new, delta(x_new, x), err, k + 1)
+                return (x_new, _coupled_delta(x_new, x), err, k + 1)
 
             x, err, _, k = jax.lax.while_loop(
                 cond, body, (x1, err0, big, 1)
+            )
+            info = SolveInfo(
+                num_iter=k,
+                abs_err=err,
+                rel_err=err / jnp.where(err0 == 0, 1.0, err0),
+            )
+            return x, info
+
+        def picard_solve_dd_fwd(pst_keys, x0, fac_d, pst_vals, ext0,
+                                control_t, prop, dt):
+            out = picard_solve_dd(
+                pst_keys, x0, fac_d, pst_vals, ext0, control_t, prop, dt
+            )
+            x, _ = out
+            return out, (x, fac_d, pst_vals, ext0, control_t, prop, dt)
+
+        def picard_solve_dd_bwd(pst_keys, saved, cts):
+            """Fixed-point adjoint (Christianson): at the converged
+            x* = F(x*), iterate lam <- xbar + F_x^T lam — the transpose
+            contraction converges at the forward Picard's rate — then
+            pull parameter gradients through one vjp of F at x*."""
+            x, fac_d, pst_vals, ext0, control_t, prop, dt = saved
+            xbar, _ = cts
+            pst = dict(zip(pst_keys, pst_vals))
+
+            _, fx_vjp = jax.vjp(
+                lambda x_: _picard_map(
+                    pst, x_, fac_d, ext0, control_t, prop, dt
+                ),
+                x,
+            )
+            tmap = jax.tree_util.tree_map
+
+            def next_lam(lam):
+                return tmap(lambda a, b: a + b, xbar, fx_vjp(lam)[0])
+
+            bnorm = _coupled_delta(xbar, tmap(jnp.zeros_like, xbar))
+            abs_tol = params_d.get("fixedpoint_absolute_tolerance", 1e-10)
+            rel_tol = params_d.get("fixedpoint_relative_tolerance", 1e-12)
+            max_fp = int(params_d.get("fixedpoint_max_iterations", 50))
+            stag = params_d.get("stagnation_ratio", 0.9)
+
+            lam1 = next_lam(xbar)
+            inc0 = _coupled_delta(lam1, xbar)
+            big = jnp.asarray(jnp.inf, dtype=inc0.dtype)
+
+            def cond(carry):
+                lam, inc, inc_prev, k = carry
+                not_conv = jnp.logical_and(
+                    inc >= abs_tol, inc >= rel_tol * bnorm
+                )
+                return jnp.logical_and(
+                    jnp.logical_and(not_conv, inc < stag * inc_prev),
+                    k < max_fp,
+                )
+
+            def body(carry):
+                lam, inc, inc_prev, k = carry
+                lam_new = next_lam(lam)
+                return (lam_new, _coupled_delta(lam_new, lam), inc, k + 1)
+
+            lam = jax.lax.while_loop(
+                cond, body, (lam1, inc0, big, 1)
+            )[0]
+
+            _, ft_vjp = jax.vjp(
+                lambda e0, c, p, t: _picard_map(pst, x, fac_d, e0, c, p, t),
+                ext0, control_t, prop, dt,
+            )
+            g_ext0, g_c, g_p, g_dt = ft_vjp(lam)
+
+            def zero_ct(v):
+                if not jnp.issubdtype(v.dtype, jnp.floating):
+                    return np.zeros(v.shape, dtype=jax.dtypes.float0)
+                return jnp.zeros_like(v)
+
+            z = jax.tree_util.tree_map
+            return (
+                z(jnp.zeros_like, x),
+                z(zero_ct, fac_d),
+                z(zero_ct, tuple(pst_vals)),
+                g_ext0, g_c, g_p, g_dt,
+            )
+
+        picard_solve_dd.defvjp(picard_solve_dd_fwd, picard_solve_dd_bwd)
+
+        def step_loc_implicit(pst, state, fac_d, control, prop, dt):
+            """Sharded analog of ``ImplicitFSIModel.step_pure_stale``
+            (reference ``transient.py:964-1145``), with a fixed-point
+            IFT adjoint in place of the single-chip dense coupled LU."""
+            ext0 = tuple(
+                jnp.concatenate([state[k], halo_right(state[k])])
+                for k in ("u", "v", "a")
+            )
+            pst_keys = tuple(sorted(pst))
+            pst_vals = tuple(pst[k] for k in pst_keys)
+            u_pred = (
+                state["u"] + dt * state["v"] + 0.5 * dt * dt * state["a"]
+            )
+            x0 = (u_pred, state["q"], state["p"])
+            control_t = {k: control[k] for k in control_keys}
+            x, info = picard_solve_dd(
+                pst_keys, x0, fac_d, pst_vals, ext0, control_t, prop, dt
             )
             u1, q1, p1f = x
             v1 = newmark.newmark_v(
@@ -814,11 +911,6 @@ class DDIntegrator:
             )
             a1 = newmark.newmark_a(
                 u1, state["u"], state["v"], state["a"], dt
-            )
-            info = SolveInfo(
-                num_iter=k,
-                abs_err=err,
-                rel_err=err / jnp.where(err0 == 0, 1.0, err0),
             )
             return {"u": u1, "v": v1, "a": a1, "q": q1, "p": p1f}, info
 
