@@ -344,6 +344,52 @@ def test_dd_implicit_adjoint_matches_single_device():
     assert abs(fd - an) < 1e-6 * abs(fd)
 
 
+def test_dd_integrate_writes_statefile(tmp_path):
+    """``DDIntegrator.integrate`` exposes the same BlockVector +
+    StateFile surface as ``forward.integrate``: the sharded run writes
+    an HDF5 trajectory interchangeable with the single-device one."""
+    from vf_fem_tpu import statefile as sf
+    from vf_fem_tpu.parallel.ddstep import DDIntegrator
+
+    model = _make_model(20, 10)
+    times = 5e-5 * np.arange(13)
+    ini_state = model.state0.copy()
+    ini_state[:] = 0.0
+
+    path_dd = str(tmp_path / "dd.h5")
+    dd = DDIntegrator(
+        model, _mesh(4), params={"jacobian_refresh_steps": 4}
+    )
+    with sf.StateFile(model, path_dd, mode="w") as f:
+        fin_dd, info_dd = dd.integrate(
+            f, ini_state, [model.control], model.prop, times,
+            idx_meas=np.array([0, 5]),
+        )
+        assert f.size == len(times)
+        stored = f.get_state(f.size - 1)
+        for k in ("u", "v", "a", "q", "p"):
+            np.testing.assert_allclose(
+                stored[k], fin_dd[k], rtol=1e-12, atol=0
+            )
+        assert list(np.asarray(f.get_meas_indices())) == [0, 5]
+
+    assert info_dd["diverged"] is False
+
+    path_ref = str(tmp_path / "ref.h5")
+    with sf.StateFile(model, path_ref, mode="w") as f:
+        forward.integrate(
+            model, f, ini_state, [model.control], model.prop, times,
+            newton_solver_prm={"jacobian_refresh_steps": 1},
+        )
+        ref5 = f.get_state(5)
+    with sf.StateFile(model, path_dd, mode="r") as f:
+        dd5 = f.get_state(5)
+    scale = np.abs(np.asarray(ref5["u"])).max()
+    assert np.abs(
+        np.asarray(dd5["u"]) - np.asarray(ref5["u"])
+    ).max() < 1e-9 * max(scale, 1e-30)
+
+
 def test_dd_bf16_factors():
     """bf16-stored SPIKE factors in the sharded loop (the bandwidth
     lever for real multi-chip runs) keep the chord-certified trajectory

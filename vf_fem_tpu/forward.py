@@ -361,7 +361,32 @@ def integrate(
         model, state0, controls_stacked, prop_d, times, newton_solver_prm,
         window=window, use_tqdm=use_tqdm,
     )
+    return finalize_run(
+        model, f, ini_state, controls, prop, times, idx_meas,
+        newton_solver_prm, fin_state, traj, infos, write,
+    )
 
+
+def finalize_run(
+    model,
+    f: Optional[sf.StateFile],
+    ini_state: bv.BlockVector,
+    controls: list,
+    prop: bv.BlockVector,
+    times: np.ndarray,
+    idx_meas,
+    newton_solver_prm,
+    fin_state: dict,
+    traj: dict,
+    infos,
+    write: bool = True,
+):
+    """Shared post-run bookkeeping for ``integrate`` and the sharded
+    ``parallel.ddstep.DDIntegrator.integrate``: statefile writes,
+    divergence flagging, and fixed-iteration certification."""
+    if idx_meas is None:
+        idx_meas = np.array([])
+    controls_stacked = _stack_controls(model, controls)
     state_keys = list(ini_state.keys())
     fin_bv = bv.BlockVector(
         [np.asarray(fin_state[k]) for k in state_keys], labels=[state_keys]

@@ -1122,3 +1122,23 @@ class DDIntegrator:
             )
         state0 = {k: jnp.asarray(v) for k, v in state0.items()}
         return self._fn_cache[key](state0, controls_stacked, prop, times)
+
+    def integrate(self, f, ini_state, controls, prop, times,
+                  idx_meas=None, write=True):
+        """Sharded analog of ``forward.integrate``: same BlockVector +
+        StateFile surface (HDF5 writes, measure indices, divergence
+        flagging), with the time loop run through the device mesh."""
+        from .. import forward as fwd
+
+        times = fwd.validate_times(times)
+        self.model.set_prop(prop)
+        state0 = {k: np.asarray(v) for k, v in ini_state.sub_items()}
+        controls_stacked = fwd._stack_controls(self.model, controls)
+        prop_d = self.model.prop_to_dict(prop)
+        fin_state, traj, infos = self.integrate_pure(
+            state0, controls_stacked, prop_d, times
+        )
+        return fwd.finalize_run(
+            self.model, f, ini_state, controls, prop, times, idx_meas,
+            self.params, fin_state, traj, infos, write,
+        )
