@@ -83,7 +83,19 @@ def build(backend_f64: bool, mesh_file: str = "M5_3layers.msh"):
     return model
 
 
-def run_device(model, device, tolerances):
+def _sync(tree):
+    """Force completion of the executable that produced ``tree`` by
+    fetching one output leaf to host.  Through the remote (axon) tunnel
+    ``block_until_ready`` does NOT reliably wait for remote execution
+    (a 5 GB reduction "completed" in 0.02 ms) while ALSO paying a
+    ~27 ms round-trip per buffer when it does (5-leaf sync measured
+    +120 ms on a 46 ms program) — a host fetch is the only sync that
+    measures true wall-clock in both regimes (measured 597 vs 2184
+    steps/s on the same headline binary in the same session)."""
+    np.asarray(jax.tree_util.tree_leaves(tree)[0])
+
+
+def run_device(model, device, tolerances, n_steps_slope=None):
     import jax.numpy as jnp
 
     from vf_fem_tpu import forward
@@ -101,7 +113,7 @@ def run_device(model, device, tolerances):
         fin, traj, infos = forward.integrate_pure(
             model, state0, controls, prop, times, tolerances
         )
-        jax.tree_util.tree_map(lambda a: a.block_until_ready(), fin)
+        _sync(fin)
         return fin, infos
 
     # warmup/compile
@@ -115,6 +127,31 @@ def run_device(model, device, tolerances):
         fin, infos = once()
         best = min(best, time.perf_counter() - t0)
     tps = N_STEPS / best
+
+    # Device-only rate: a second, longer scan; the slope between the two
+    # run lengths cancels the fixed per-call dispatch/fetch overhead
+    # (~27 ms through the remote tunnel) — the hardware-normalized
+    # number that makes rounds comparable across tunnel sessions.
+    tps_device = None
+    if n_steps_slope:
+        times2 = jax.device_put(
+            jnp.asarray(DT * np.arange(n_steps_slope + 1)), device
+        )
+
+        def once2():
+            fin2, _, _ = forward.integrate_pure(
+                model, state0, controls, prop, times2, tolerances
+            )
+            _sync(fin2)
+
+        once2()  # compile
+        best2 = np.inf
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            once2()
+            best2 = min(best2, time.perf_counter() - t0)
+        if best2 > best:
+            tps_device = (n_steps_slope - N_STEPS) / (best2 - best)
 
     # Achieved-FLOP/s + HBM-traffic estimates from XLA's static cost
     # analysis of the compiled scan program (per full run / best wall
@@ -130,47 +167,68 @@ def run_device(model, device, tolerances):
         cost = fn.lower(state0, controls, prop, times).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        flops = float(cost.get("flops", 0.0)) / best
+        # rate per full N_STEPS run: prefer the dispatch-free device rate
+        # (the cost analysis counts device work only, so dividing it by a
+        # wall time that is mostly tunnel round-trip understates GB/s)
+        runs_per_s = (
+            tps_device / N_STEPS if tps_device else 1.0 / best
+        )
+        flops = float(cost.get("flops", 0.0)) * runs_per_s
         ba = float(cost.get("bytes accessed", 0.0))
         if ba:
-            gbs = ba / best / 1e9
+            gbs = ba * runs_per_s / 1e9
     except Exception as e:  # cost analysis is best-effort
         log(f"cost_analysis unavailable: {e}")
-    return tps, compile_time, fin, infos, flops, gbs
+    return tps, compile_time, fin, infos, flops, gbs, tps_device
 
 
 def measure_stream_bound(device, nbytes=256 * 1024 * 1024):
     """Measured HBM streaming bound: time ``sum(x)`` of ``nbytes`` inside
-    a jitted carry-dependent scan (defeats LICM; per-call dispatch
-    latency through the remote tunnel is amortized over the loop).  This
-    is the same-session roofline the bandwidth-bound solver legs are
-    compared against (``bw_frac``)."""
+    a jitted carry-dependent scan (defeats LICM), at two scan lengths —
+    the slope cancels the fixed dispatch/round-trip cost, and the result
+    is fetched to host (see ``_sync``: ``block_until_ready`` does not
+    reliably wait through the remote tunnel; the old single-length
+    blocked probe read an impossible 116 TB/s).  This is the
+    same-session roofline the bandwidth-bound solver legs are compared
+    against (``bw_frac``)."""
     import jax.numpy as jnp
 
     n = nbytes // 4
     x = jax.device_put(
         jnp.linspace(-1.0, 1.0, n, dtype=jnp.float32), device
     )
-    n_inner = 20
 
-    @jax.jit
-    def run(x):
-        def body(c, _):
-            # |x + c*eps| blocks both loop-invariant hoisting of the
-            # reduction and the sum(x + b) = sum(x) + n*b rewrite (a
-            # plain carry-perturbed sum measured an impossible 171 TB/s)
-            return c + jnp.sum(jnp.abs(x + c * 1e-20)), None
+    def make(n_inner):
+        @jax.jit
+        def run(x):
+            def body(c, _):
+                # |x + c*eps| blocks both loop-invariant hoisting of the
+                # reduction and the sum(x + b) = sum(x) + n*b rewrite (a
+                # plain carry-perturbed sum folded entirely)
+                return c + jnp.sum(jnp.abs(x + c * 1e-20)), None
 
-        c, _ = jax.lax.scan(body, jnp.zeros(()), None, length=n_inner)
-        return c
+            c, _ = jax.lax.scan(
+                body, jnp.zeros(()), None, length=n_inner
+            )
+            return c
 
-    jax.block_until_ready(run(x))
-    best = np.inf
-    for _ in range(3):
-        t0 = time.perf_counter()
-        jax.block_until_ready(run(x))
-        best = min(best, time.perf_counter() - t0)
-    return nbytes * n_inner / best / 1e9  # GB/s
+        return run
+
+    n_lo, n_hi = 5, 25
+    t = {}
+    for n_inner in (n_lo, n_hi):
+        run = make(n_inner)
+        float(run(x))  # compile + forced completion
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(x))
+            best = min(best, time.perf_counter() - t0)
+        t[n_inner] = best
+    dt_pass = (t[n_hi] - t[n_lo]) / (n_hi - n_lo)
+    if dt_pass <= 0:
+        return None
+    return nbytes / dt_pass / 1e9  # GB/s
 
 
 def main():
@@ -227,14 +285,18 @@ def main():
     except Exception as e:
         log(f"stream-bound probe failed: {e!r}")
 
-    tps_dev, ct_dev, fin_dev, infos_dev, flops_dev, gbs_dev = run_device(
-        model, default, tol_dev
+    (
+        tps_dev, ct_dev, fin_dev, infos_dev, flops_dev, gbs_dev, tpsd_dev
+    ) = run_device(
+        model, default, tol_dev, n_steps_slope=400 if on_accel else None
     )
     log(
         f"{default.platform}: {tps_dev:.1f} steps/s"
         f" (compile {ct_dev:.1f}s, max_iter"
         f" {int(np.asarray(infos_dev.num_iter).max())})"
     )
+    if tpsd_dev:
+        log(f"device-only (slope) rate: {tpsd_dev:.1f} steps/s")
 
     # CPU baseline (PETSc-CPU stand-in) at its own best configuration.
     # The persistent compilation cache may hold CPU AOT results compiled on
@@ -245,7 +307,7 @@ def main():
     if on_accel:
         jax.config.update("jax_enable_compilation_cache", False)
         cpu = jax.devices("cpu")[0]
-        tps_cpu, ct_cpu, fin_cpu, _, _, _ = run_device(model, cpu, tol_cpu)
+        tps_cpu, ct_cpu, fin_cpu, _, _, _, _ = run_device(model, cpu, tol_cpu)
         jax.config.update("jax_enable_compilation_cache", True)
         log(f"cpu: {tps_cpu:.1f} steps/s (compile {ct_cpu:.1f}s)")
         vs_baseline = tps_dev / tps_cpu
@@ -264,6 +326,10 @@ def main():
     }
     if stream_gbs:
         out["stream_bound_gbs"] = round(stream_gbs, 1)
+    if tpsd_dev:
+        # dispatch-free hardware rate (slope between 100- and 400-step
+        # runs): the number to compare across rounds/tunnel sessions
+        out["steps_s_device"] = round(tpsd_dev, 2)
     if flops_dev:
         # v5e bf16 peak = 197 Tflop/s/chip; f32 (3-pass bf16) ~ 1/4 of it
         out["flops_est"] = round(flops_dev / 1e9, 2)
@@ -301,8 +367,8 @@ def main():
                 "fixed_iterations": 3,
                 "stagnation_ratio": 0.5,
             }
-            tps_l, ct_l, fin_l, infos_l, flops_l, gbs_l = run_device(
-                model_l, default, tol_l
+            tps_l, ct_l, fin_l, infos_l, flops_l, gbs_l, tpsd_l = run_device(
+                model_l, default, tol_l, n_steps_slope=300
             )
             assert np.isfinite(np.asarray(fin_l["u"])).all()
             out["large_mesh"] = {
@@ -310,6 +376,8 @@ def main():
                 "steps_s": round(tps_l, 2),
                 "solver": "banded-assembly + btd direct (bf16 factors)",
             }
+            if tpsd_l:
+                out["large_mesh"]["steps_s_device"] = round(tpsd_l, 2)
             if gbs_l:
                 out["large_mesh"]["achieved_gbs"] = round(gbs_l, 2)
                 if stream_gbs:
@@ -324,7 +392,7 @@ def main():
             tol_x = dict(tol_l)
             tol_x.pop("btd_store_dtype")
             tol_x["jacobian_refresh_steps"] = 1
-            _, _, fin_x, _, _, _ = run_device(model_l, default, tol_x)
+            _, _, fin_x, _, _, _, _ = run_device(model_l, default, tol_x)
             traj_err = float(
                 np.abs(
                     np.asarray(fin_l["u"]) - np.asarray(fin_x["u"])
@@ -353,8 +421,8 @@ def main():
                 "stagnation_ratio": 0.5,
                 "aitken": True,
             }
-            tps_i, ct_i, fin_i, infos_i, _, _ = run_device(
-                model_i, default, tol_i
+            tps_i, ct_i, fin_i, infos_i, _, _, tpsd_i = run_device(
+                model_i, default, tol_i, n_steps_slope=300
             )
             assert np.isfinite(np.asarray(fin_i["u"])).all()
             log(
@@ -368,6 +436,8 @@ def main():
                     float(np.asarray(infos_i.num_iter).mean()), 2
                 ),
             }
+            if tpsd_i:
+                out["implicit"]["steps_s_device"] = round(tpsd_i, 2)
         except Exception as e:
             log(f"implicit leg skipped: {e!r}")
         finally:
@@ -435,17 +505,13 @@ def main():
             run_batch = jax.jit(jax.vmap(run_one))
             t0 = time.perf_counter()
             fin_s = run_batch(pb)
-            jax.tree_util.tree_map(
-                lambda a: a.block_until_ready(), fin_s
-            )
+            _sync(fin_s)  # host fetch: block_until_ready is unreliable
             ct_s = time.perf_counter() - t0
             best = np.inf
             for _ in range(3):
                 t0 = time.perf_counter()
                 fin_s = run_batch(pb)
-                jax.tree_util.tree_map(
-                    lambda a: a.block_until_ready(), fin_s
-                )
+                _sync(fin_s)
                 best = min(best, time.perf_counter() - t0)
             assert np.isfinite(np.asarray(fin_s["u"])).all()
             vps = batch * steps / best
