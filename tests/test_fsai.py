@@ -255,13 +255,13 @@ def test_fsai_statefile_roundtrip(tmp_path):
         )
 
 
-def test_fsai_fixed_point_safeguard_bounds_bad_config():
-    """Outside the supported configuration (contact above the midline:
-    the fold closes through ymid into the clamped-area regime) the
-    interactive fixed point can stop contracting; the safeguard then
-    falls back to the one-step lagged evaluation, keeping the run
-    bounded instead of blowing up within a step (pre-safeguard this
-    configuration reached |u| ~ 1e46)."""
+def test_fsai_strong_interaction_regime_stays_bounded():
+    """Contact above the midline (the fold closes through ymid into the
+    clamped-area regime) makes the source-tract map non-contractive —
+    the regime where a damped Picard iteration runs away (historically
+    |u| ~ 1e46 within one step).  The bracketed root solve
+    (``solve_flow_root``) does not need a contraction: the coupled flow
+    still converges each step and the run stays bounded."""
     model = make_fsai_model(nx=8, ny=4)
     prop = model.prop
     ymax = float(np.asarray(model.solid._Xref)[:, 1].max())

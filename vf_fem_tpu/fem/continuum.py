@@ -11,10 +11,13 @@ reference does (plane strain), so scalar invariants match.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from .elements import det_small, inv_small
 
-I3 = jnp.eye(3)
+# numpy, not jnp: module import must not touch the device (an eager op
+# here would fail in any process whose remote TPU is busy/unclaimed)
+I3 = np.eye(3)
 
 
 # Tiny per-element tensor ops are unrolled into elementwise stacks (no

@@ -37,7 +37,7 @@ from .continuum import (
     stress_isotropic,
 )
 
-I3 = jnp.eye(3)
+I3 = np.eye(3)  # numpy: imports must not touch the device
 
 
 # -- Coefficient specs --------------------------------------------------------

@@ -17,21 +17,24 @@ within the step):
    ``ExplicitFSIModel``),
 2. the WRA half-step exposes the tract's *instantaneous* input-pressure
    law ``psup = z q + 2 b2`` (``acoustic.make_wra_parts``); the
-   quasi-steady fluid and that law are solved together by a damped
-   fixed point on the scalar ``q`` — acoustic loading acts on the flow
-   with zero delay.  (A one-step-lagged explicit exchange is marginally
-   unstable here: the loop gain ``z dq/dp`` approaches 1 for narrow
-   pharynx areas and the coupled run locks onto a delay oscillation.)
+   quasi-steady fluid and that law are solved together by a bracketed
+   root solve on the scalar ``q`` (:func:`solve_flow_root`) — acoustic
+   loading acts on the flow with zero delay.  (A one-step-lagged
+   explicit exchange is marginally unstable here: the loop gain
+   ``z dq/dp`` approaches 1 for narrow pharynx areas and the coupled
+   run locks onto a delay oscillation.)
 3. WRA full step driven by the converged glottal flow ``q1``.
 
 The acoustic time step is geometry-locked (``dt = 2 L / (N c)``); drive
 the model at that dt (``model.dt``), like the reference FSAI did.
 
-Configure the contact plane BELOW the channel midline
-(``ycontact < ymid``) so collision stops closure while the glottal area
-is still positive, as in phonation: letting the fold cross the midline
-puts the fluid in a clamped-area regime where the source-tract fixed
-point can diverge.
+The in-step root solve does not require the coupled source-tract map to
+be a contraction, so strong-interaction configurations (narrow pharynx,
+collision through the channel midline into the clamped-area regime)
+step robustly; gradients through the solve are implicit-function exact.
+Phonation-like setups should still place the contact plane below the
+midline (``ycontact < ymid``) so collision stops closure at a positive
+glottal area.
 """
 
 from __future__ import annotations
@@ -50,7 +53,95 @@ from .transient import (
     _params_key,
 )
 
-__all__ = ["ExplicitFSAIModel"]
+__all__ = ["ExplicitFSAIModel", "solve_flow_root"]
+
+
+def solve_flow_root(fluid_at, q0, n_expand=12, n_bisect=34):
+    """Solve the interactive source-tract flow ``q = Q(psup(q))``.
+
+    ``fluid_at(q)`` evaluates the quasi-steady fluid at the tract's
+    instantaneous input pressure ``psup(q) = z q + 2 b2`` and returns the
+    fluid state dict; ``q0`` is the previous-step flow (the lagged
+    fallback).
+
+    Method: bracketed bisection on ``g(q) = Q(psup(q)) - q``.  In the
+    physical regime ``dQ/dpsup <= 0`` and ``dpsup/dq = z >= 0``, so ``g``
+    is strictly decreasing (``g' <= -1``) and has a unique root —
+    bisection converges *regardless of the loop gain*, unlike a damped
+    Picard iteration which requires the coupled map to be a contraction
+    (|z dQ/dpsup| < 1 breaks down for narrow pharynx / clamped-area
+    configurations).  The bracket/bisection phase runs under
+    ``stop_gradient``; the returned flow is polished with two
+    differentiable chord-Newton steps at the converged root, which makes
+    the gradients implicit-function-theorem exact without
+    differentiating through the iteration.
+
+    Falls back to the one-step-lagged evaluation if no sign change was
+    bracketed (no root in reach — outside any physical regime).
+
+    Returns ``(fluid_state_dict, bracketed)``.
+    """
+    sg = jax.lax.stop_gradient
+
+    def f(q):
+        return jnp.squeeze(fluid_at(q)["q"])
+
+    def fng(q):  # primal-only evaluations for the bracketing phase
+        return sg(f(sg(q)))
+
+    q0s = sg(jnp.squeeze(q0))
+    f0 = fng(q0s)
+    a = jnp.minimum(q0s, f0)
+    b = jnp.maximum(q0s, f0)
+    w0 = jnp.maximum(b - a, 1e-3 * (1.0 + jnp.abs(q0s)))
+    a = a - 0.05 * w0
+    b = b + 0.05 * w0
+    ga = fng(a) - a
+    gb = fng(b) - b
+
+    def expand(c, _):
+        a, b, ga, gb, w = c
+        need = ga * gb > 0.0
+        a2 = jnp.where(need, a - w, a)
+        b2 = jnp.where(need, b + w, b)
+        ga2 = jnp.where(need, fng(a2) - a2, ga)
+        gb2 = jnp.where(need, fng(b2) - b2, gb)
+        return (a2, b2, ga2, gb2, 2.0 * w), None
+
+    (a, b, ga, gb, _), _ = jax.lax.scan(
+        expand, (a, b, ga, gb, w0), None, length=n_expand
+    )
+    bracketed = ga * gb <= 0.0
+
+    def bisect(c, _):
+        a, b, ga, gb = c
+        m = 0.5 * (a + b)
+        gm = fng(m) - m
+        left = ga * gm <= 0.0
+        return (
+            jnp.where(left, a, m),
+            jnp.where(left, m, b),
+            jnp.where(left, ga, gm),
+            jnp.where(left, gm, gb),
+        ), None
+
+    (a, b, _, _), _ = jax.lax.scan(
+        bisect, (a, b, ga, gb), None, length=n_bisect
+    )
+    q_star = sg(0.5 * (a + b))
+
+    # two differentiable chord-Newton polish steps at the root: values
+    # converge quadratically-then-linearly past the bisection tolerance,
+    # and d(q_out)/d(params) = -g_params/g' — the IFT gradient — since
+    # q_star and g' carry no derivative.
+    dg = sg(jax.grad(lambda q: f(q) - q)(q_star))
+    # physically g' <= -1; guard the (measure-zero) g' ~ 0 pathology
+    dg = jnp.where(jnp.abs(dg) < 0.25, -1.0, dg)
+    q_ref = q_star - (f(q_star) - q_star) / dg
+    q_ref = q_ref - (f(q_ref) - q_ref) / dg
+
+    q_out = jnp.where(bracketed, q_ref, jnp.squeeze(q0))
+    return fluid_at(q_out), bracketed
 
 
 class ExplicitFSAIModel(BaseTransientModel):
@@ -93,8 +184,6 @@ class ExplicitFSAIModel(BaseTransientModel):
         fsi_keys = self._fsi_prop_keys
         ac_keys = self._ac_prop_keys
         half, full, input_coeffs = make_wra_parts(acoustic.num_tube)
-        n_interact = 8  # damped fixed-point iterations on the scalar q
-        relax = 0.7
 
         def split(prop):
             return (
@@ -108,8 +197,9 @@ class ExplicitFSAIModel(BaseTransientModel):
         def solve_flow(u1, state0, control, prop, fl_prop, ac_prop):
             """Interactive source: solve ``q`` against the tract's
             instantaneous input-pressure law ``psup = z q + 2 b2``
-            jointly with the quasi-steady fluid (damped fixed point; the
-            law is exact for the WRA input junction)."""
+            jointly with the quasi-steady fluid (bracketed root solve —
+            no contraction requirement; the law is exact for the WRA
+            input junction)."""
             pinc_1 = half(state0["pinc"], state0["pref"], ac_prop)
             z0, b2_0 = input_coeffs(pinc_1, ac_prop)
             area = fsi._area_from_u1(u1, prop)
@@ -122,24 +212,7 @@ class ExplicitFSAIModel(BaseTransientModel):
                     {"area": area, **ext, "psup": psup}, fl_prop, proto
                 )
 
-            q0 = jnp.squeeze(state0["q"])
-            qp0 = fluid_at(q0)
-            r0 = jnp.abs(jnp.squeeze(qp0["q"]) - q0)
-            q = q0
-            for _ in range(n_interact):
-                qp = fluid_at(q)
-                q = relax * jnp.squeeze(qp["q"]) + (1.0 - relax) * q
-            qp = fluid_at(q)
-            # safeguard: if the damped iteration failed to contract (the
-            # clamped-area regime outside the supported configuration,
-            # see the module docstring), fall back to the one-step
-            # lagged-flow evaluation — bounded per step instead of an
-            # in-step runaway
-            r_fin = jnp.abs(jnp.squeeze(qp["q"]) - q)
-            ok = r_fin <= jnp.maximum(r0, 1e-12 * jnp.abs(q0) + 1e-30)
-            qp = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(ok, a, b), qp, qp0
-            )
+            qp, _ = solve_flow_root(fluid_at, state0["q"])
             return qp, pinc_1
 
         def step_with(solid_solve, state1_guess, state0, control, prop,

@@ -382,6 +382,7 @@ class DDIntegrator:
         fdofs = np.asarray(fsi_like._fluid_dofs)
         if self._fsai:
             from ..models.acoustic import make_wra_parts
+            from ..models.fsai import solve_flow_root
 
             ac_keys = model._ac_prop_keys
             wra_half, wra_full, wra_coeffs = make_wra_parts(
@@ -917,10 +918,10 @@ class DDIntegrator:
         # ---- FSAI (interactive source-tract) coupled step ----------------
         def step_loc_fsai(pst, state, fac_d, control, prop, dt):
             """Sharded analog of ``ExplicitFSAIModel.step_pure``: the
-            solid slab solve is sharded; the WRA tract and the damped
-            source-tract fixed point run replicated on the psum'd
-            surface area (mirrors ``models/fsai.solve_flow`` incl. the
-            non-contraction safeguard)."""
+            solid slab solve is sharded; the WRA tract and the
+            source-tract root solve run replicated on the psum'd
+            surface area (same ``models/fsai.solve_flow_root`` as the
+            single-chip model)."""
             prop_s = {k: prop[k] for k in solid_keys}
             prop_f = {k: prop[k] for k in fluid_keys}
             ac_prop = {k: prop[k] for k in ac_keys}
@@ -963,19 +964,7 @@ class DDIntegrator:
                     {"area": area, **ext, "psup": psup}, prop_f, proto
                 )
 
-            q0 = jnp.squeeze(state["q"])
-            qp0 = fluid_at(q0)
-            r0 = jnp.abs(jnp.squeeze(qp0["q"]) - q0)
-            q = q0
-            for _ in range(8):
-                qp = fluid_at(q)
-                q = 0.7 * jnp.squeeze(qp["q"]) + 0.3 * q
-            qp = fluid_at(q)
-            r_fin = jnp.abs(jnp.squeeze(qp["q"]) - q)
-            ok = r_fin <= jnp.maximum(r0, 1e-12 * jnp.abs(q0) + 1e-30)
-            qp = jax.tree_util.tree_map(
-                lambda a_, b_: jnp.where(ok, a_, b_), qp, qp0
-            )
+            qp, _ = solve_flow_root(fluid_at, state["q"])
             pinc1, pref1 = wra_full(
                 pinc_1, state["pinc"], state["pref"], qp["q"], ac_prop
             )
