@@ -418,6 +418,44 @@ def test_dd_bf16_factors():
     assert np.isfinite(du) and du < 1e-5 * max(scale, 1e-30)
 
 
+def test_dd_f32_factors_reach_f64_floor():
+    """Mixed precision in the sharded loop (``btd_factor_dtype=
+    'float32'``): f64 state/residuals with f32 SPIKE factors — the TPU
+    reference-tolerance path (no f64 LU on the chip) extended to the
+    distributed solver — reproduces the all-f64 sharded trajectory at
+    the f64 level and meets the reference tolerances each step."""
+    from vf_fem_tpu.parallel.ddstep import DDIntegrator
+
+    model = _make_model()
+    state0 = {k: np.zeros_like(np.asarray(v))
+              for k, v in model.state0.sub_items()}
+    cs = forward._stack_controls(model, [model.control])
+    pd = model.prop_to_dict(model.prop)
+    times = np.asarray(5e-5 * np.arange(17))
+
+    dd64 = DDIntegrator(
+        model, _mesh(4), params={"jacobian_refresh_steps": 8}
+    )
+    _, t64, _ = dd64.integrate_pure(state0, cs, pd, times)
+    ddmx = DDIntegrator(
+        model, _mesh(4),
+        params={
+            "jacobian_refresh_steps": 8,
+            "btd_factor_dtype": "float32",
+            "absolute_tolerance": 1e-8,
+            "relative_tolerance": 1e-10,
+        },
+    )
+    _, tmx, infos = ddmx.integrate_pure(state0, cs, pd, times)
+    assert np.asarray(tmx["u"]).dtype == np.float64
+    abs_err = np.asarray(infos.abs_err)
+    rel_err = np.asarray(infos.rel_err)
+    assert np.all((abs_err < 1e-8) | (rel_err < 1e-10))
+    du = np.abs(np.asarray(tmx["u"]) - np.asarray(t64["u"])).max()
+    scale = np.abs(np.asarray(t64["u"])).max()
+    assert du < 1e-10 * max(scale, 1e-30)
+
+
 def _make_fsai_model(nx=40, ny=20):
     from vf_fem_tpu.load import load_fsai_model
 

@@ -16,12 +16,7 @@ from vf_fem_tpu.mesh.reorder import rcm_mesh
 from vf_fem_tpu.residuals import fluid as flr, solid as slr
 
 
-def test_f32_factor_newton_reaches_f64_floor():
-    """With ``btd_factor_dtype='float32'`` the band factors and solves
-    run in f32 while state + residuals stay f64; the residual-certified
-    Newton must still reach the reference tolerances and reproduce the
-    pure-f64 dense trajectory (the TPU mixed-precision contract —
-    elementwise f64 exists there, f64 LU does not)."""
+def _mixed_precision_model():
     mesh = rcm_mesh(vocal_fold_mesh(10, 5))
     ymax = mesh.coords[:, 1].max()
     model = load_fsi_model(
@@ -47,19 +42,12 @@ def test_f32_factor_newton_reaches_f64_floor():
     cs = forward._stack_controls(model, [model.control])
     pd = model.prop_to_dict(model.prop)
     times = np.asarray(5e-5 * np.arange(25))
+    return model, state0, cs, pd, times
 
-    fin_d, traj_d, _ = forward.integrate_pure(
-        model, state0, cs, pd, times, {"jacobian_refresh_steps": 1}
-    )
+
+def _check_mixed(model, state0, cs, pd, times, traj_d, solver_params):
     fin_m, traj_m, infos_m = forward.integrate_pure(
-        model, state0, cs, pd, times,
-        {
-            "linear_solver": "btd",
-            "btd_factor_dtype": "float32",
-            "jacobian_refresh_steps": 8,
-            "absolute_tolerance": 1e-8,
-            "relative_tolerance": 1e-10,
-        },
+        model, state0, cs, pd, times, solver_params
     )
     # reference tolerances met by every step despite f32 factors
     abs_err = np.asarray(infos_m.abs_err)
@@ -71,3 +59,38 @@ def test_f32_factor_newton_reaches_f64_floor():
     assert du < 1e-10 * max(uscale, 1e-30)
     # factors really were f32 (the solve still returns f64)
     assert np.asarray(traj_m["u"]).dtype == np.float64
+
+
+def test_f32_factor_newton_reaches_f64_floor():
+    """With ``btd_factor_dtype='float32'`` the band factors and solves
+    run in f32 while state + residuals stay f64; the residual-certified
+    Newton must still reach the reference tolerances and reproduce the
+    pure-f64 dense trajectory (the TPU mixed-precision contract —
+    elementwise f64 exists there, f64 LU does not)."""
+    model, state0, cs, pd, times = _mixed_precision_model()
+    fin_d, traj_d, _ = forward.integrate_pure(
+        model, state0, cs, pd, times, {"jacobian_refresh_steps": 1}
+    )
+    _check_mixed(
+        model, state0, cs, pd, times, traj_d,
+        {
+            "linear_solver": "btd",
+            "btd_factor_dtype": "float32",
+            "jacobian_refresh_steps": 8,
+            "absolute_tolerance": 1e-8,
+            "relative_tolerance": 1e-10,
+        },
+    )
+    # the SPIKE-partitioned direct solver (the distributed family)
+    # honors the same mixed-precision contract
+    _check_mixed(
+        model, state0, cs, pd, times, traj_d,
+        {
+            "linear_solver": "spike",
+            "spike_partitions": 4,
+            "btd_factor_dtype": "float32",
+            "jacobian_refresh_steps": 8,
+            "absolute_tolerance": 1e-8,
+            "relative_tolerance": 1e-10,
+        },
+    )

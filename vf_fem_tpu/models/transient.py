@@ -516,6 +516,7 @@ class SolidModel(BaseTransientModel):
                     get_bsb_plan(), blocks,
                     n_parts=int(params_d.get("spike_partitions", 8)),
                     store_dtype=params_d.get("btd_store_dtype"),
+                    factor_dtype=params_d.get("btd_factor_dtype"),
                 )
             Dinv = op.block_diag_inverse(dim)
             if ls == "bsb":

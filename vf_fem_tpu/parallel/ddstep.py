@@ -391,6 +391,7 @@ class DDIntegrator:
         col_idx = jnp.asarray(plan.col_idx)
         K = int(params_d.get("jacobian_refresh_steps", 1))
         store_dtype = params_d.get("btd_store_dtype")
+        factor_dtype = params_d.get("btd_factor_dtype")
 
         shim = SimpleNamespace(b=b, h=h, nb=nb, nblk=nblk_loc)
 
@@ -551,6 +552,9 @@ class DDIntegrator:
             # absorb the previous slab's spilled block-rows
             recv = jax.lax.ppermute(band[nblk_loc:], axis, fwd_perm)
             band = band[:nblk_loc].at[:h].add(recv)
+            if factor_dtype is not None:
+                # TPU mixed precision: f64 residuals, f32 factors
+                band = band.astype(factor_dtype)
 
             # symmetric Jacobi equilibration with neighbor scale halos
             diag = jnp.diagonal(band[:, h], axis1=1, axis2=2)

@@ -73,34 +73,44 @@ class SPIKEFactors(NamedTuple):
     d: jnp.ndarray  # (ndof_pad,) Jacobi equilibration scale
 
 
+def _mixed_target(x_dtype):
+    """Result dtype for a mixed-precision product keyed on the vector."""
+    return jnp.float32 if x_dtype == jnp.bfloat16 else x_dtype
+
+
 def _bmm(A, X):
-    """Batched ``A @ X`` accumulating in f32 when stored half-width."""
-    if A.dtype == jnp.bfloat16 or X.dtype == jnp.bfloat16:
+    """Batched ``A @ X`` in the factor dtype, f32 accumulation.
+
+    Handles bf16-stored factors (half-bandwidth streaming) AND the TPU
+    mixed-precision path (f32 factors under f64 vectors — no f64 MXU;
+    see ``btd._mv``): the product runs in ``A.dtype``, the result is
+    cast back to the vector dtype."""
+    if A.dtype != X.dtype or A.dtype == jnp.bfloat16:
         out = jnp.einsum(
             "...ij,...jk->...ik", A, X.astype(A.dtype),
             preferred_element_type=jnp.float32,
         )
-        return out.astype(jnp.float32)
+        return out.astype(_mixed_target(X.dtype))
     return jnp.einsum("...ij,...jk->...ik", A, X)
 
 
 def _bmv(A, x):
-    if A.dtype == jnp.bfloat16:
+    if A.dtype != x.dtype or A.dtype == jnp.bfloat16:
         out = jnp.einsum(
             "...ij,...j->...i", A, x.astype(A.dtype),
             preferred_element_type=jnp.float32,
         )
-        return out.astype(x.dtype)
+        return out.astype(_mixed_target(x.dtype))
     return jnp.einsum("...ij,...j->...i", A, x)
 
 
 def _bmv_t(A, x):
-    if A.dtype == jnp.bfloat16:
+    if A.dtype != x.dtype or A.dtype == jnp.bfloat16:
         out = jnp.einsum(
             "...ji,...j->...i", A, x.astype(A.dtype),
             preferred_element_type=jnp.float32,
         )
-        return out.astype(x.dtype)
+        return out.astype(_mixed_target(x.dtype))
     return jnp.einsum("...ji,...j->...i", A, x)
 
 
@@ -329,14 +339,19 @@ def spike_factor(
     n_parts: int = 8,
     store_dtype=None,
     with_transpose: bool = True,
+    factor_dtype=None,
 ) -> SPIKEFactors:
     """Factor the banded Jacobian with ``n_parts`` SPIKE slabs.
 
     ``store_dtype='bfloat16'`` stores all large factor arrays
     half-width (same bandwidth-bound argument as
     ``solvers.btd.btd_factor``).  ``with_transpose=False`` skips the
-    transposed spikes (forward-only runs).
+    transposed spikes (forward-only runs).  ``factor_dtype='float32'``
+    casts the Jacobian *before* factorizing — the TPU mixed-precision
+    path (f64 state/residuals, f32 factors; see ``btd.btd_factor``).
     """
+    if factor_dtype is not None:
+        blocks = blocks.astype(factor_dtype)
     D, L, U, B, C, d = spike_superblocks(plan, blocks, n_parts)
     Sinv = _local_factor(D, L, U)
     V, W, Vh, Wh = _spike_from_locals(
@@ -370,12 +385,12 @@ def _interface_correct(g, red, V, W):
     xb_prev = jnp.concatenate([jnp.zeros_like(xb[:1]), xb[:-1]], axis=0)
 
     def spike_mv(A, x):  # (S, m, Bt, Bt) @ (S, Bt) -> (S, m, Bt)
-        if A.dtype == jnp.bfloat16:
+        if A.dtype != x.dtype or A.dtype == jnp.bfloat16:
             out = jnp.einsum(
                 "smij,sj->smi", A, x.astype(A.dtype),
                 preferred_element_type=jnp.float32,
             )
-            return out.astype(x.dtype)
+            return out.astype(_mixed_target(x.dtype))
         return jnp.einsum("smij,sj->smi", A, x)
 
     return g - spike_mv(V, xt_next) - spike_mv(W, xb_prev)
