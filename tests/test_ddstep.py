@@ -418,6 +418,45 @@ def test_dd_bf16_factors():
     assert np.isfinite(du) and du < 1e-5 * max(scale, 1e-30)
 
 
+def test_dd_banded_assembly_matches_indexed():
+    """The gather-free banded cell-pass assembly per slab
+    (``assembly='banded'``: per-slab ``fem.banded`` plans as sharded
+    operands, one stacked MXU gather/scatter instead of indexed
+    gathers + segment_sum) reproduces the indexed sharded trajectory
+    and its gradients."""
+    from vf_fem_tpu.parallel.ddstep import DDIntegrator
+
+    model = _make_model(30, 15)
+    state0 = {k: np.zeros_like(np.asarray(v))
+              for k, v in model.state0.sub_items()}
+    cs = forward._stack_controls(model, [model.control])
+    pd = model.prop_to_dict(model.prop)
+    times = np.asarray(5e-5 * np.arange(9))
+
+    dd_p = DDIntegrator(
+        model, _mesh(4), params={"jacobian_refresh_steps": 4}
+    )
+    _, tp, _ = dd_p.integrate_pure(state0, cs, pd, times)
+    dd_b = DDIntegrator(
+        model, _mesh(4),
+        params={"jacobian_refresh_steps": 4, "assembly": "banded"},
+    )
+    assert dd_b.bplan is not None
+    _, tb, _ = dd_b.integrate_pure(state0, cs, pd, times)
+    du = np.abs(np.asarray(tb["u"]) - np.asarray(tp["u"])).max()
+    sc = np.abs(np.asarray(tp["u"])).max()
+    assert du < 1e-9 * max(sc, 1e-30)
+
+    def loss(integ, psub):
+        cs2 = {**cs, "psub": jnp.full_like(jnp.asarray(cs["psub"]), psub)}
+        fin, _, _ = integ.integrate_pure(state0, cs2, pd, times)
+        return jnp.sum(fin["u"] ** 2)
+
+    gp = float(jax.grad(lambda x: loss(dd_p, x))(jnp.asarray(8000.0)))
+    gb = float(jax.grad(lambda x: loss(dd_b, x))(jnp.asarray(8000.0)))
+    assert abs(gp - gb) < 1e-6 * max(abs(gp), 1e-30)
+
+
 def test_dd_f32_factors_reach_f64_floor():
     """Mixed precision in the sharded loop (``btd_factor_dtype=
     'float32'``): f64 state/residuals with f32 SPIKE factors — the TPU

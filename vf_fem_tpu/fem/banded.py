@@ -48,7 +48,14 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-__all__ = ["BandedPlan", "plan_banded", "banded_gather", "banded_scatter"]
+__all__ = [
+    "BandedPlan",
+    "plan_banded",
+    "banded_gather",
+    "banded_scatter",
+    "banded_gather_t",
+    "banded_scatter_t",
+]
 
 
 def _interpret() -> bool:
@@ -57,6 +64,10 @@ def _interpret() -> bool:
 
 class BandedPlan(NamedTuple):
     """Static (host-built) plan for banded gather/scatter.
+
+    ``vma``: varying-axes set for pallas outputs when the kernels run
+    inside ``jax.shard_map`` (jax 0.9 VMA typing requires declaring it);
+    None outside shard_map.
 
     ``delta_g`` duplicates a real cell of the same group into padding slots
     (so padded lanes gather finite, geometrically valid data), while
@@ -78,6 +89,7 @@ class BandedPlan(NamedTuple):
     delta_s: np.ndarray  # (ngroups, nv, gc) int32 scatter offsets
     cells_pad: np.ndarray  # (ngroups*gc, nv) cells with padding rows
     # duplicated from real cells
+    vma: object = None  # varying mesh axes under shard_map (or None)
 
 
 def plan_banded(
@@ -85,16 +97,29 @@ def plan_banded(
     n_vertices: int,
     gc: int = 128,
     max_window: int = 2048,
+    n_real: int = None,
+    w_force: int = None,
+    nvert_pad_min: int = None,
 ) -> BandedPlan:
     """Chunk cells into groups of ``gc`` and compute their vertex windows.
 
     Requires cells sorted by min vertex id on an RCM-renumbered mesh
     (``mesh.reorder.rcm_mesh``); asserts if the realized window exceeds
     ``max_window``.
+
+    ``n_real`` marks ``cells[n_real:]`` as pre-padded duplicates (their
+    scatter offsets are masked so they never contribute — the caller
+    equalizes cell counts across shard_map slabs this way);
+    ``w_force``/``nvert_pad_min`` force a common window width / padded
+    vertex count across per-slab plans (shard_map runs one program on
+    every device, so the plan shapes must agree).
     """
     assert gc % 128 == 0, "gc must be a multiple of 128 (TPU lane width)"
     cells = np.asarray(cells)
     nc, nv = cells.shape
+    if n_real is None:
+        n_real = nc
+    assert n_real >= 1, "banded plan needs at least one real cell"
     ngroups = -(-nc // gc)
     npad = ngroups * gc - nc
     # padding duplicates the last real cell (finite geometry, masked in
@@ -114,15 +139,23 @@ def plan_banded(
         " bandwidth-ordered; renumber with mesh.reorder.rcm_mesh"
         " before building the model"
     )
+    if w_force is not None:
+        assert w_force >= w and w_force % 128 == 0
+        w = w_force
 
     delta = np.transpose(
         grouped - base[:, None, None], (0, 2, 1)
     )  # (ngroups, nv, gc) vertex-slot-major
     delta_g = delta.astype(np.int32)
     delta_s = delta_g.copy()
-    if npad:
-        delta_s[-1, :, gc - npad :] = w
+    # mask every padded slot (internal tail padding and caller-marked
+    # duplicate cells): no iota match -> zero one-hot scatter row
+    flat_idx = np.arange(ngroups * gc).reshape(ngroups, gc)
+    pad_slots = flat_idx >= n_real  # (ngroups, gc)
+    delta_s[np.broadcast_to(pad_slots[:, None, :], delta_s.shape)] = w
     nvert_pad = int(base.max()) + w
+    if nvert_pad_min is not None:
+        nvert_pad = max(nvert_pad, int(nvert_pad_min))
     return BandedPlan(
         ngroups=ngroups,
         gc=gc,
@@ -232,7 +265,7 @@ def _pallas_gather(plan: BandedPlan, F: jnp.ndarray) -> jnp.ndarray:
         partial(_gather_kernel, w=plan.w, nv=nv, gc=gc),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (nv, C, plan.ngroups * gc), F.dtype
+            (nv, C, plan.ngroups * gc), F.dtype, vma=plan.vma
         ),
         interpret=_interpret(),
     )(jnp.asarray(plan.base), jnp.asarray(plan.delta_g), F)
@@ -258,7 +291,9 @@ def _pallas_scatter(plan: BandedPlan, loc: jnp.ndarray) -> jnp.ndarray:
     return pl.pallas_call(
         partial(_scatter_kernel, w=plan.w, nv=nv, gc=gc),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((C, plan.nvert_pad), loc.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (C, plan.nvert_pad), loc.dtype, vma=plan.vma
+        ),
         interpret=_interpret(),
     )(jnp.asarray(plan.base), jnp.asarray(plan.delta_s), loc)
 
@@ -344,3 +379,103 @@ def _banded_scatter_bwd(plan, n_rows, _saved, ct):
 
 
 banded_scatter.defvjp(_banded_scatter_fwd, _banded_scatter_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Traced-plan variants: identical kernels, but ``base``/``delta`` are
+# *traced array* arguments instead of host-plan constants.  Needed inside
+# ``shard_map`` programs where every device runs one program over its own
+# slab's plan arrays (sharded operands) — only the shape metadata
+# ``meta = (ngroups, gc, nv, w, nvert_pad, mesh_axis_or_None)`` stays
+# static and must agree across slabs (``parallel.ddstep`` equalizes it).
+# The index arrays are integer-valued primals; their cotangents are
+# float0.
+# ---------------------------------------------------------------------------
+
+
+def _plan_like(meta, base, delta_g, delta_s) -> BandedPlan:
+    ngroups, gc, nv, w, nvert_pad, axis = meta
+    vma = frozenset((axis,)) if axis is not None else None
+    return BandedPlan(
+        ngroups=ngroups, gc=gc, nv=nv, w=w, nvert_pad=nvert_pad,
+        ncells=ngroups * gc, base=base, delta_g=delta_g, delta_s=delta_s,
+        cells_pad=None, vma=vma,
+    )
+
+
+def _int_zero_ct(x):
+    return np.zeros(jnp.shape(x), dtype=jax.dtypes.float0)
+
+
+def _gather_impl_t(plan: BandedPlan, F: jnp.ndarray) -> jnp.ndarray:
+    """Impl selection for the traced-plan variants: the native kernel on
+    TPU; the XLA reference everywhere else.  (Interpret-mode Pallas
+    inside shard_map trips jax's VMA checker on the interpreter's
+    internal loop state — the single-chip interpret tests cover the
+    kernels themselves.)"""
+    if _interpret():
+        return _xla_gather(plan, F)
+    return jax.lax.platform_dependent(
+        F,
+        tpu=partial(_pallas_gather, plan),
+        default=partial(_xla_gather, plan),
+    )
+
+
+def _scatter_impl_t(plan: BandedPlan, loc: jnp.ndarray) -> jnp.ndarray:
+    if _interpret():
+        return _xla_scatter(plan, loc)
+    return jax.lax.platform_dependent(
+        loc,
+        tpu=partial(_pallas_scatter, plan),
+        default=partial(_xla_scatter, plan),
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def banded_gather_t(meta, base, delta_g, F):
+    """:func:`banded_gather` with traced ``base``/``delta_g`` arrays."""
+    plan = _plan_like(meta, base, delta_g, delta_g)
+    F = jnp.pad(F, ((0, 0), (0, plan.nvert_pad - F.shape[1])))
+    return _gather_impl_t(plan, F)
+
+
+def _banded_gather_t_fwd(meta, base, delta_g, F):
+    return banded_gather_t(meta, base, delta_g, F), (
+        base, delta_g, F.shape[1],
+    )
+
+
+def _banded_gather_t_bwd(meta, saved, ct):
+    base, delta_g, nvert = saved
+    # transpose of the gather pattern: scatter with the gather offsets
+    plan = _plan_like(meta, base, delta_g, delta_g)
+    out = _scatter_impl_t(plan, ct)
+    return (_int_zero_ct(base), _int_zero_ct(delta_g), out[:, :nvert])
+
+
+banded_gather_t.defvjp(_banded_gather_t_fwd, _banded_gather_t_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 4))
+def banded_scatter_t(meta, base, delta_s, loc, n_rows):
+    """:func:`banded_scatter` with traced ``base``/``delta_s`` arrays."""
+    plan = _plan_like(meta, base, delta_s, delta_s)
+    return _scatter_impl_t(plan, loc)[:, :n_rows]
+
+
+def _banded_scatter_t_fwd(meta, base, delta_s, loc, n_rows):
+    return banded_scatter_t(meta, base, delta_s, loc, n_rows), (
+        base, delta_s,
+    )
+
+
+def _banded_scatter_t_bwd(meta, n_rows, saved, ct):
+    base, delta_s = saved
+    plan = _plan_like(meta, base, delta_s, delta_s)
+    ctpad = jnp.pad(ct, ((0, 0), (0, plan.nvert_pad - ct.shape[1])))
+    out = _gather_impl_t(plan, ctpad)
+    return (_int_zero_ct(base), _int_zero_ct(delta_s), out)
+
+
+banded_scatter_t.defvjp(_banded_scatter_t_fwd, _banded_scatter_t_bwd)

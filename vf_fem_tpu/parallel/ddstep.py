@@ -297,6 +297,89 @@ def plan_dd(model, n_shards: int) -> DDPlan:
     )
 
 
+def plan_dd_banded(model, plan: DDPlan):
+    """Per-slab banded-assembly plans (``fem.banded`` one-hot MXU
+    gather/scatter) for the sharded cell-pass residual, stacked on the
+    slab axis.  The shape metadata (group count, window width, padded
+    vertex count) is equalized across slabs so every device runs the
+    same program.
+
+    Returns ``None`` when the partition cannot support it: slab
+    boundaries must align with vertices (``ndof_loc % dim == 0`` and
+    ``Bt % dim == 0``), every slab must own at least one cell, and each
+    slab's cells must be a consecutive id range (RCM cell sort) so dg0
+    coefficients ride a contiguous slice.
+    """
+    from ..fem import banded as banded_mod
+
+    dim = plan.dim
+    if plan.ndof_loc % dim or plan.Bt % dim:
+        return None
+    S = plan.S
+    nvert_loc = plan.ndof_loc // dim
+    halo_v = plan.Bt // dim
+    nvert_halo = nvert_loc + halo_v
+    n_real = plan.cell_mask.sum(axis=1).astype(int)  # (S,)
+    if (n_real == 0).any():
+        return None
+    ncm = plan.cells.shape[1]
+    c0 = np.zeros(S, dtype=np.int64)
+    cells_loc = np.zeros_like(plan.cells)
+    for s in range(S):
+        ids = plan.cell_ids[s, : n_real[s]]
+        if n_real[s] > 1 and not (np.diff(ids) == 1).all():
+            return None
+        c0[s] = ids[0]
+        real = plan.cells[s, : n_real[s]] - s * nvert_loc
+        pad = np.broadcast_to(
+            real[-1:], (ncm - n_real[s],) + real.shape[1:]
+        )
+        cells_loc[s] = np.concatenate([real, pad], axis=0)
+
+    # two passes: establish the common (w, nvert_pad), then rebuild
+    plans = [
+        banded_mod.plan_banded(
+            cells_loc[s], nvert_halo, n_real=int(n_real[s])
+        )
+        for s in range(S)
+    ]
+    w = max(p.w for p in plans)
+    nvp = max(
+        max(int(p.base.max()) + w for p in plans), nvert_halo
+    )
+    plans = [
+        banded_mod.plan_banded(
+            cells_loc[s], nvert_halo, n_real=int(n_real[s]),
+            w_force=w, nvert_pad_min=nvp,
+        )
+        for s in range(S)
+    ]
+    p0 = plans[0]
+    meta = (p0.ngroups, p0.gc, p0.nv, w, nvp)
+
+    Xref = np.asarray(model.solid._Xref)
+    nvert_glob = Xref.shape[0]
+    # per-slab static coordinate channels; vertices beyond the real mesh
+    # read zeros (only masked duplicate cells could touch them)
+    Xch = np.zeros((S, dim, nvert_halo))
+    for s in range(S):
+        lo = s * nvert_loc
+        hi = min(lo + nvert_halo, nvert_glob)
+        if hi > lo:
+            Xch[s, :, : hi - lo] = Xref[lo:hi].T
+    return dict(
+        meta=meta,
+        arrays=dict(
+            bb_base=np.stack([p.base for p in plans]).astype(np.int32),
+            bb_dg=np.stack([p.delta_g for p in plans]).astype(np.int32),
+            bb_ds=np.stack([p.delta_s for p in plans]).astype(np.int32),
+            bb_Xch=Xch,
+            bb_v0=(np.arange(S) * nvert_loc).astype(np.int32)[:, None],
+            bb_c0=c0.astype(np.int32)[:, None],
+        ),
+    )
+
+
 class DDIntegrator:
     """Sharded transient integration of an ``ExplicitFSIModel``.
 
@@ -333,6 +416,22 @@ class DDIntegrator:
         self.use_remat = use_remat
         self.params = dict(_params_key(params))
         self.plan = plan_dd(model, mesh.devices.size)
+        # banded (gather-free Pallas) cell-pass assembly per slab:
+        # 'banded' forces it (raises if the partition can't), 'auto'
+        # uses it on TPU where the indexed gathers it replaces are the
+        # cost center, 'plain' (default) keeps indexed gathers
+        asm = str(self.params.get("assembly", "plain"))
+        self.bplan = None
+        if asm in ("banded", "auto"):
+            self.bplan = plan_dd_banded(model, self.plan)
+            if self.bplan is None and asm == "banded":
+                raise ValueError(
+                    "banded DD assembly unsupported for this partition"
+                    " (dof/vertex misalignment, empty slab, or"
+                    " non-contiguous slab cell ids)"
+                )
+            if asm == "auto" and jax.default_backend() not in ("tpu",):
+                self.bplan = None  # interpret-mode Pallas: not a win
         self._fn_cache = {}
 
     # ------------------------------------------------------------------
@@ -349,6 +448,8 @@ class DDIntegrator:
             diag_idx=p.diag_idx, fl_idx=p.fl_idx, fl_udof=p.fl_udof,
             fl_y=p.fl_y, fl_mask=p.fl_mask,
         )
+        if self.bplan is not None:
+            arrs.update(self.bplan["arrays"])
         specs = {k: P(self.axis) for k in arrs}
         return {k: jnp.asarray(v) for k, v in arrs.items()}, specs
 
@@ -481,7 +582,23 @@ class DDIntegrator:
             return cd, ue, s0
 
         # ---- residual ----------------------------------------------------
-        def res_loc(pst, u1_loc, ext0, p1, prop_s, dt):
+        def _facet_res(pst, u1_ext, ext0, fields, dt):
+            fd, u1_f, s0_f = _elem_inputs(pst, u1_ext, ext0, facet=True)
+            local_f, axes_f = gather_locals(pst, fields, facet=True)
+            res_f = jax.vmap(
+                facet_fn(dt), in_axes=(0, 0, 0, 0, 0, axes_f)
+            )(
+                u1_f, pst["Xe_f"][0], pst["facet_sel"][0],
+                pst["facet_opp_sel"][0], s0_f, local_f,
+            )
+            res_f = res_f * pst["facet_mask"][0][:, None, None]
+            return jax.ops.segment_sum(
+                res_f.reshape(-1),
+                fd.reshape(-1),
+                num_segments=ndof_loc + Bt,
+            )
+
+        def res_loc_plain(pst, u1_loc, ext0, p1, prop_s, dt):
             u1_ext = jnp.concatenate([u1_loc, halo_right(u1_loc)])
             fields = make_fields(prop_s, p1)
 
@@ -499,24 +616,118 @@ class DDIntegrator:
                 num_segments=ndof_loc + Bt,
             )
 
-            fd, u1_f, s0_f = _elem_inputs(pst, u1_ext, ext0, facet=True)
-            local_f, axes_f = gather_locals(pst, fields, facet=True)
-            res_f = jax.vmap(
-                facet_fn(dt), in_axes=(0, 0, 0, 0, 0, axes_f)
-            )(
-                u1_f, pst["Xe_f"][0], pst["facet_sel"][0],
-                pst["facet_opp_sel"][0], s0_f, local_f,
-            )
-            res_f = res_f * pst["facet_mask"][0][:, None, None]
-            buf = buf + jax.ops.segment_sum(
-                res_f.reshape(-1),
-                fd.reshape(-1),
-                num_segments=ndof_loc + Bt,
-            )
-
+            buf = buf + _facet_res(pst, u1_ext, ext0, fields, dt)
             r = spill_add(buf)
             bcm = pst["bc_mask_loc"][0]
             return r * (1.0 - bcm) + u1_loc * bcm
+
+        if self.bplan is not None:
+            from ..fem import banded as banded_mod
+
+            # meta + the mesh axis name (jax 0.9 VMA typing: pallas
+            # outputs inside shard_map must declare their varying axes)
+            bmeta = tuple(self.bplan["meta"]) + (axis,)
+            ngroups_b, gc_b, nv_b, w_b, nvp_b = bmeta[:5]
+            ncpad = ngroups_b * gc_b
+            nvert_loc_b = ndof_loc // dim
+            halo_v = Bt // dim
+            nvert_halo = nvert_loc_b + halo_v
+            # static pad targets for the replicated global fields
+            nvert_glob_pad = S * nvert_loc_b + halo_v
+            nc_glob = int(topo.n_cells)
+            nc_glob_pad = nc_glob + ncpad
+
+        def res_loc_banded(pst, u1_loc, ext0, p1, prop_s, dt):
+            """Cell pass via the gather-free one-hot-window kernels
+            (``fem.banded``): all cg1 channels (state, coefficients,
+            traced coordinates) ride one stacked MXU gather per slab;
+            the scatter masks padded duplicate cells.  Facet pass and
+            halo exchange are shared with the indexed path."""
+            base = pst["bb_base"][0]
+            dgr = pst["bb_dg"][0]
+            dsr = pst["bb_ds"][0]
+            v0 = pst["bb_v0"][0, 0]
+            c0 = pst["bb_c0"][0, 0]
+            u1_ext = jnp.concatenate([u1_loc, halo_right(u1_loc)])
+            fields = make_fields(prop_s, p1)
+
+            def vcomps(flat):
+                arr2 = flat.reshape(nvert_halo, dim)
+                return [arr2[:, c] for c in range(dim)]
+
+            def slab_rows(arr2):
+                arr2 = jnp.pad(
+                    arr2,
+                    ((0, nvert_glob_pad - arr2.shape[0]), (0, 0)),
+                )
+                return jax.lax.dynamic_slice_in_dim(arr2, v0, nvert_halo)
+
+            comps = vcomps(u1_ext)
+            for x in ext0:
+                comps += vcomps(x)
+            cg1_keys = []
+            for key, sp_ in spec.items():
+                if key.startswith("state/") or key == "control/tcontact":
+                    continue
+                if sp_.space == "cg1_vector":
+                    sl = slab_rows(jnp.asarray(fields[key]).reshape(-1, dim))
+                    comps += [sl[:, c] for c in range(dim)]
+                    cg1_keys.append((key, dim))
+                elif sp_.space == "cg1_scalar":
+                    sl = slab_rows(jnp.asarray(fields[key]).reshape(-1, 1))
+                    comps.append(sl[:, 0])
+                    cg1_keys.append((key, 1))
+            Xch = pst["bb_Xch"][0]  # (dim, nvert_halo) static coords
+            comps += [Xch[c] for c in range(dim)]
+            F = jnp.stack(comps, axis=0)  # (C, nvert_halo)
+            loc_all = banded_mod.banded_gather_t(bmeta, base, dgr, F)
+
+            off = 0
+
+            def take(ncols):
+                nonlocal off
+                v = loc_all[:, off : off + ncols, :]
+                off += ncols
+                return v if ncols > 1 else v[:, 0, :]
+
+            u1_e = take(dim)
+            s0_e = (take(dim), take(dim), take(dim))
+            local, axes = {}, {}
+            for key, ncols in cg1_keys:
+                local[key] = take(ncols)
+                axes[key] = -1
+            Xe = take(dim)
+            for key, sp_ in spec.items():
+                if sp_.space == "dg0_scalar":
+                    arr = jnp.asarray(fields[key])
+                    arr = jnp.pad(arr, (0, nc_glob_pad - arr.shape[0]))
+                    local[key] = jax.lax.dynamic_slice_in_dim(
+                        arr, c0, ncpad
+                    )
+                    axes[key] = -1
+                elif sp_.space == "const_scalar":
+                    local[key] = jnp.asarray(fields[key])[0]
+                    axes[key] = None
+                elif sp_.space == "const_vector":
+                    local[key] = jnp.asarray(fields[key])
+                    axes[key] = None
+
+            res_c = jax.vmap(
+                cell_fn(dt),
+                in_axes=(-1, -1, (-1, -1, -1), axes),
+                out_axes=-1,
+            )(u1_e, Xe, s0_e, local)  # (nv, dim, ncpad)
+            r2 = banded_mod.banded_scatter_t(
+                bmeta, base, dsr, res_c, nvert_halo
+            )  # (dim, nvert_halo)
+            buf = jnp.moveaxis(r2, 0, 1).reshape(-1)
+
+            buf = buf + _facet_res(pst, u1_ext, ext0, fields, dt)
+            r = spill_add(buf)
+            bcm = pst["bc_mask_loc"][0]
+            return r * (1.0 - bcm) + u1_loc * bcm
+
+        res_loc = res_loc_banded if self.bplan is not None else res_loc_plain
 
         # ---- banded fill + SPIKE factorization ---------------------------
         def factorize_loc(pst, ext0, p1, prop_s, dt):
