@@ -19,46 +19,55 @@ from setup import setup_transient_args
 from benchmark_large import build_model
 
 
-N_INNER = 100
+N_LO = 40
+N_HI = 140
 
 
-def timeit(fn, *args, n=5):
-    """Time fn inside a jitted lax.scan with N_INNER iterations — the
-    per-call remote-dispatch latency (~27 ms through the axon tunnel)
-    otherwise swamps every measurement."""
+def timeit(fn, *args, n=4):
+    """Time fn as the SLOPE between two jitted lax.scan lengths, synced
+    by fetching the scalar carry to host.  Through the remote (axon)
+    tunnel, per-call dispatch costs ~27 ms and ``block_until_ready`` can
+    return before execution finishes; the host fetch is a reliable sync
+    and the slope cancels the fixed round-trip (CLAUDE.md round-3)."""
     import jax
     import jax.numpy as jnp
 
-    def looped(args):
-        def body(carry, _):
-            # make inputs carry-dependent so XLA cannot hoist the body out
-            # of the loop (loop-invariant code motion)
-            args_p = jax.tree_util.tree_map(
-                lambda a: a + (carry * 1e-38).astype(a.dtype)
-                if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
-                else a,
-                args,
-            )
-            out = fn(*args_p)
-            # fold the output into a scalar carry so nothing is dead code
-            s = sum(
-                jnp.sum(leaf) for leaf in jax.tree_util.tree_leaves(out)
-            )
-            return carry + s, None
+    def make(length):
+        def looped(args):
+            def body(carry, _):
+                # make inputs carry-dependent so XLA cannot hoist the
+                # body out of the loop (loop-invariant code motion)
+                args_p = jax.tree_util.tree_map(
+                    lambda a: a + (carry * 1e-38).astype(a.dtype)
+                    if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+                    else a,
+                    args,
+                )
+                out = fn(*args_p)
+                # fold the output into a scalar carry (nothing dead)
+                s = sum(
+                    jnp.sum(leaf)
+                    for leaf in jax.tree_util.tree_leaves(out)
+                )
+                return carry + s, None
 
-        c, _ = jax.lax.scan(body, jnp.zeros(()), None, length=N_INNER)
-        return c
+            c, _ = jax.lax.scan(body, jnp.zeros(()), None, length=length)
+            return c
 
-    run = jax.jit(looped)
-    out = run(args)
-    jax.block_until_ready(out)
-    best = np.inf
+        return jax.jit(looped)
+
+    run_lo, run_hi = make(N_LO), make(N_HI)
+    np.asarray(run_lo(args))  # compile + warm
+    np.asarray(run_hi(args))
+    best_lo = best_hi = np.inf
     for _ in range(n):
         t0 = time.perf_counter()
-        out = run(args)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return best / N_INNER
+        np.asarray(run_lo(args))
+        best_lo = min(best_lo, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(run_hi(args))
+        best_hi = min(best_hi, time.perf_counter() - t0)
+    return max(best_hi - best_lo, 1e-12) / (N_HI - N_LO)
 
 
 def main():
@@ -68,6 +77,8 @@ def main():
 
     import jax
     import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
     model = build_model(args.h)
     solid = model.solid
@@ -254,7 +265,7 @@ def main():
     # solves) — the single-chip lever on the latency-bound btd_factor
     from vf_fem_tpu.solvers import spike as spike_mod
 
-    for S in (4, 8, 16):
+    for S in (8, 16, 32, 64):
         facS = jax.jit(
             lambda b: spike_mod.spike_factor(plan, b, n_parts=S)
         )

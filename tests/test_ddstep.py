@@ -457,6 +457,43 @@ def test_dd_banded_assembly_matches_indexed():
     assert abs(gp - gb) < 1e-6 * max(abs(gp), 1e-30)
 
 
+def test_dd_banded_assembly_empty_slabs():
+    """Banded DD assembly on a partition with cell-less tail slabs
+    (small mesh over many devices): the fully-masked dummy plans must
+    keep the trajectory finite and identical to the indexed path.
+    Regression: zero-coordinate dummy cells gave det(J)=0 -> NaN
+    element kernels, and NaN survives the masked one-hot scatter
+    (NaN*0 = NaN inside the matmul)."""
+    from vf_fem_tpu.parallel.ddstep import DDIntegrator, plan_dd
+
+    model = _make_model(20, 10)
+    plan = plan_dd(model, 8)
+    n_real = plan.cell_mask.sum(axis=1).astype(int)
+    assert (n_real == 0).any(), "fixture must produce an empty slab"
+
+    state0 = {k: np.zeros_like(np.asarray(v))
+              for k, v in model.state0.sub_items()}
+    cs = forward._stack_controls(model, [model.control])
+    pd = model.prop_to_dict(model.prop)
+    times = np.asarray(5e-5 * np.arange(9))
+
+    dd_p = DDIntegrator(
+        model, _mesh(8), params={"jacobian_refresh_steps": 4}
+    )
+    _, tp, _ = dd_p.integrate_pure(state0, cs, pd, times)
+    dd_b = DDIntegrator(
+        model, _mesh(8),
+        params={"jacobian_refresh_steps": 4, "assembly": "banded"},
+    )
+    assert dd_b.bplan is not None
+    _, tb, _ = dd_b.integrate_pure(state0, cs, pd, times)
+    ub = np.asarray(tb["u"])
+    assert np.all(np.isfinite(ub))
+    du = np.abs(ub - np.asarray(tp["u"])).max()
+    sc = np.abs(np.asarray(tp["u"])).max()
+    assert du < 1e-9 * max(sc, 1e-30)
+
+
 def test_dd_f32_factors_reach_f64_floor():
     """Mixed precision in the sharded loop (``btd_factor_dtype=
     'float32'``): f64 state/residuals with f32 SPIKE factors — the TPU

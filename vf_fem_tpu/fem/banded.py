@@ -119,7 +119,8 @@ def plan_banded(
     nc, nv = cells.shape
     if n_real is None:
         n_real = nc
-    assert n_real >= 1, "banded plan needs at least one real cell"
+    # n_real == 0 is allowed: a fully-masked plan (every scatter slot
+    # dumped) for empty shard_map slabs running the common program
     ngroups = -(-nc // gc)
     npad = ngroups * gc - nc
     # padding duplicates the last real cell (finite geometry, masked in

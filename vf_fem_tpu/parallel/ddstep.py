@@ -306,9 +306,10 @@ def plan_dd_banded(model, plan: DDPlan):
 
     Returns ``None`` when the partition cannot support it: slab
     boundaries must align with vertices (``ndof_loc % dim == 0`` and
-    ``Bt % dim == 0``), every slab must own at least one cell, and each
-    slab's cells must be a consecutive id range (RCM cell sort) so dg0
-    coefficients ride a contiguous slice.
+    ``Bt % dim == 0``) and each slab's cells must be a consecutive id
+    range (RCM cell sort) so dg0 coefficients ride a contiguous slice.
+    Cell-less tail slabs (covering only padding dofs) get fully-masked
+    dummy plans.
     """
     from ..fem import banded as banded_mod
 
@@ -320,12 +321,16 @@ def plan_dd_banded(model, plan: DDPlan):
     halo_v = plan.Bt // dim
     nvert_halo = nvert_loc + halo_v
     n_real = plan.cell_mask.sum(axis=1).astype(int)  # (S,)
-    if (n_real == 0).any():
-        return None
     ncm = plan.cells.shape[1]
+    nv = plan.cells.shape[2]
     c0 = np.zeros(S, dtype=np.int64)
     cells_loc = np.zeros_like(plan.cells)
     for s in range(S):
+        if n_real[s] == 0:
+            # tail slab covering only padding dofs: a dummy cell whose
+            # scatter slots are all masked (n_real=0 plan)
+            cells_loc[s] = np.broadcast_to(np.arange(nv), (ncm, nv))
+            continue
         ids = plan.cell_ids[s, : n_real[s]]
         if n_real[s] > 1 and not (np.diff(ids) == 1).all():
             return None
@@ -367,6 +372,16 @@ def plan_dd_banded(model, plan: DDPlan):
         hi = min(lo + nvert_halo, nvert_glob)
         if hi > lo:
             Xch[s, :, : hi - lo] = Xref[lo:hi].T
+        if n_real[s] == 0:
+            # the dummy cells (vertices 0..nv-1) need NON-degenerate
+            # geometry: zero coords give det(J)=0 -> NaN element
+            # kernels, and NaN survives the masked one-hot scatter
+            # (NaN*0 = NaN inside the MXU matmul).  A unit reference
+            # simplex keeps every kernel finite; no real cell lives on
+            # this slab, so its coordinate channels are otherwise unread.
+            Xch[s] = 0.0
+            for v in range(1, nv):
+                Xch[s, v - 1, v] = 1.0
     return dict(
         meta=meta,
         arrays=dict(
@@ -427,8 +442,8 @@ class DDIntegrator:
             if self.bplan is None and asm == "banded":
                 raise ValueError(
                     "banded DD assembly unsupported for this partition"
-                    " (dof/vertex misalignment, empty slab, or"
-                    " non-contiguous slab cell ids)"
+                    " (dof/vertex misalignment or non-contiguous slab"
+                    " cell ids)"
                 )
             if asm == "auto" and jax.default_backend() not in ("tpu",):
                 self.bplan = None  # interpret-mode Pallas: not a win
