@@ -37,6 +37,12 @@ path across a TPU pod slice.
 
 Supported model: ``ExplicitFSIModel`` (the flagship path) on an
 RCM-renumbered mesh without shape (``umesh``) parameters.
+
+**DP x TP**: constructed with ``dp_axis=...`` on a 2D device mesh, the
+whole sharded program is vmapped over a local batch of variants
+(state + properties batched, controls/times shared) and the batch axis
+shards over the dp mesh axis — batched parameter sweeps of a mesh that
+is itself too large for one chip (``integrate_batch_pure``).
 """
 
 from __future__ import annotations
@@ -410,6 +416,7 @@ class DDIntegrator:
         params: Optional[dict] = None,
         axis: str = "shard",
         use_remat: bool = False,
+        dp_axis: Optional[str] = None,
     ):
         from ..models.transient import (
             ExplicitFSIModel as _Exp,
@@ -428,9 +435,16 @@ class DDIntegrator:
         self.model = model
         self.mesh = mesh
         self.axis = axis
+        self.dp_axis = dp_axis
+        if dp_axis is not None:
+            assert dp_axis in mesh.axis_names and axis in mesh.axis_names, (
+                f"2D DP x TP mesh must carry axes ({dp_axis!r}, {axis!r})"
+            )
         self.use_remat = use_remat
         self.params = dict(_params_key(params))
-        self.plan = plan_dd(model, mesh.devices.size)
+        # slabs partition over the TP axis only; a DP axis (if any)
+        # replicates the plan and shards the variant batch
+        self.plan = plan_dd(model, int(mesh.shape[axis]))
         # banded (gather-free Pallas) cell-pass assembly per slab:
         # 'banded' forces it (raises if the partition can't), 'auto'
         # uses it on TPU where the indexed gathers it replaces are the
@@ -870,7 +884,8 @@ class DDIntegrator:
             lam = Mt(u1_bar)
             r = u1_bar - JT(lam)
             rn = pnorm(r)
-            big = jnp.asarray(jnp.inf, dtype=rn.dtype)
+            # data-derived init (union varying axes under DP x TP VMA)
+            big = jnp.inf + 0.0 * rn
 
             def cond(carry):
                 lam, r, rn, rn_prev, lam_b, rn_b, k = carry
@@ -890,7 +905,8 @@ class DDIntegrator:
                 return (lam, r, rn_new, rn, lam_b, rn_b, k + 1)
 
             lam = jax.lax.while_loop(
-                cond, body, (lam, r, rn, big, lam, rn, 0)
+                cond, body,
+                (lam, r, rn, big, lam, rn, (0.0 * rn).astype(jnp.int32)),
             )[4]
 
             _, t_vjp = jax.vjp(
@@ -1013,7 +1029,8 @@ class DDIntegrator:
             rel_tol = params_d.get("fixedpoint_relative_tolerance", 1e-12)
             max_fp = int(params_d.get("fixedpoint_max_iterations", 50))
             stag = params_d.get("stagnation_ratio", 0.9)
-            big = jnp.asarray(jnp.inf, dtype=err0.dtype)
+            # data-derived inits (union varying axes under DP x TP VMA)
+            big = jnp.inf + 0.0 * err0
 
             def cond(carry):
                 x, err, err_prev, k = carry
@@ -1031,7 +1048,8 @@ class DDIntegrator:
                 return (x_new, _coupled_delta(x_new, x), err, k + 1)
 
             x, err, _, k = jax.lax.while_loop(
-                cond, body, (x1, err0, big, 1)
+                cond, body,
+                (x1, err0, big, 1 + (0.0 * err0).astype(jnp.int32)),
             )
             info = SolveInfo(
                 num_iter=k,
@@ -1076,7 +1094,8 @@ class DDIntegrator:
 
             lam1 = next_lam(xbar)
             inc0 = _coupled_delta(lam1, xbar)
-            big = jnp.asarray(jnp.inf, dtype=inc0.dtype)
+            # data-derived inits (union varying axes under DP x TP VMA)
+            big = jnp.inf + 0.0 * inc0
 
             def cond(carry):
                 lam, inc, inc_prev, k = carry
@@ -1094,7 +1113,8 @@ class DDIntegrator:
                 return (lam_new, _coupled_delta(lam_new, lam), inc, k + 1)
 
             lam = jax.lax.while_loop(
-                cond, body, (lam1, inc0, big, 1)
+                cond, body,
+                (lam1, inc0, big, 1 + (0.0 * inc0).astype(jnp.int32)),
             )[0]
 
             _, ft_vjp = jax.vjp(
@@ -1298,39 +1318,91 @@ class DDIntegrator:
             traj_spec.update({"pinc": P(), "pref": P()})
         info_spec = SolveInfo(num_iter=P(), abs_err=P(), rel_err=P())
 
-        def global_fn(state0, controls_stacked, prop, times):
-            # pad the solid state to the sharded length
+        if self.dp_axis is None:
+            def global_fn(state0, controls_stacked, prop, times):
+                # pad the solid state to the sharded length
+                pad = plan.ndof_pad - plan.ndof
+                s0 = dict(state0)
+                for k in ("u", "v", "a"):
+                    s0[k] = jnp.pad(jnp.asarray(state0[k]), (0, pad))
+                ctrl_specs = jax.tree_util.tree_map(
+                    lambda _: P(), controls_stacked
+                )
+                prop_specs = jax.tree_util.tree_map(lambda _: P(), prop)
+                fn = shard_map(
+                    program,
+                    mesh=self.mesh,
+                    in_specs=(
+                        pst_specs, state_spec, ctrl_specs, prop_specs, P(),
+                    ),
+                    out_specs=(state_spec, traj_spec, info_spec),
+                )
+                fin, traj, infos = fn(
+                    pst_vals, s0, controls_stacked, prop, times
+                )
+                fin = dict(fin)
+                traj = dict(traj)
+                for k in ("u", "v", "a"):
+                    fin[k] = fin[k][: plan.ndof]
+                    traj[k] = traj[k][:, : plan.ndof]
+                return fin, traj, infos
+
+            return global_fn
+
+        # ---- DP x TP: batched variants of the sharded loop ---------------
+        # vmap the WHOLE sharded program over a local batch of variants
+        # (state0 + prop batched; controls/times shared); the collectives
+        # stay on the slab axis, so each variant's physics is untouched
+        # while the batch axis shards over the dp mesh axis.
+        dp = self.dp_axis
+        vprog = jax.vmap(program, in_axes=(None, 0, None, 0, None))
+
+        def _addb(spec):
+            return P(dp, *spec)
+
+        bstate_spec = {k: _addb(s) for k, s in state_spec.items()}
+        btraj_spec = {k: _addb(s) for k, s in traj_spec.items()}
+        binfo_spec = SolveInfo(
+            num_iter=P(dp), abs_err=P(dp), rel_err=P(dp)
+        )
+
+        def global_fn_b(state0_b, controls_stacked, prop_b, times):
             pad = plan.ndof_pad - plan.ndof
-            s0 = dict(state0)
+            s0 = dict(state0_b)
             for k in ("u", "v", "a"):
-                s0[k] = jnp.pad(jnp.asarray(state0[k]), (0, pad))
+                s0[k] = jnp.pad(
+                    jnp.asarray(state0_b[k]), ((0, 0), (0, pad))
+                )
             ctrl_specs = jax.tree_util.tree_map(
                 lambda _: P(), controls_stacked
             )
-            prop_specs = jax.tree_util.tree_map(lambda _: P(), prop)
+            prop_specs = jax.tree_util.tree_map(lambda _: P(dp), prop_b)
             fn = shard_map(
-                program,
+                vprog,
                 mesh=self.mesh,
                 in_specs=(
-                    pst_specs, state_spec, ctrl_specs, prop_specs, P(),
+                    pst_specs, bstate_spec, ctrl_specs, prop_specs, P(),
                 ),
-                out_specs=(state_spec, traj_spec, info_spec),
+                out_specs=(bstate_spec, btraj_spec, binfo_spec),
             )
             fin, traj, infos = fn(
-                pst_vals, s0, controls_stacked, prop, times
+                pst_vals, s0, controls_stacked, prop_b, times
             )
             fin = dict(fin)
             traj = dict(traj)
             for k in ("u", "v", "a"):
-                fin[k] = fin[k][: plan.ndof]
-                traj[k] = traj[k][:, : plan.ndof]
+                fin[k] = fin[k][:, : plan.ndof]
+                traj[k] = traj[k][:, :, : plan.ndof]
             return fin, traj, infos
 
-        return global_fn
+        return global_fn_b
 
     # ------------------------------------------------------------------
     def integrate_pure(self, state0, controls_stacked, prop, times):
         """Sharded analog of ``forward.integrate_pure`` (rev mode)."""
+        assert self.dp_axis is None, (
+            "a DP x TP integrator runs batched: use integrate_batch_pure"
+        )
         times = jnp.asarray(times)
         n_controls = jax.tree_util.tree_leaves(controls_stacked)[0].shape[0]
         n_steps = int(times.shape[0]) - 1
@@ -1341,6 +1413,29 @@ class DDIntegrator:
             )
         state0 = {k: jnp.asarray(v) for k, v in state0.items()}
         return self._fn_cache[key](state0, controls_stacked, prop, times)
+
+    def integrate_batch_pure(self, state0_b, controls_stacked, prop_b,
+                             times):
+        """DP x TP: integrate a batch of variants of the DOF-sharded
+        model in one program.  Every leaf of ``state0_b`` and ``prop_b``
+        carries a leading batch axis (sharded over the mesh's dp axis;
+        batch size must divide by the dp extent); controls and times are
+        shared across variants.  Returns batched (fin, traj, infos)."""
+        assert self.dp_axis is not None, (
+            "construct with dp_axis=... on a 2D mesh for batched runs"
+        )
+        times = jnp.asarray(times)
+        n_controls = jax.tree_util.tree_leaves(controls_stacked)[0].shape[0]
+        n_steps = int(times.shape[0]) - 1
+        key = (n_controls, n_steps)
+        if key not in self._fn_cache:
+            self._fn_cache[key] = jax.jit(
+                self._build(n_controls, n_steps)
+            )
+        state0_b = {k: jnp.asarray(v) for k, v in state0_b.items()}
+        return self._fn_cache[key](
+            state0_b, controls_stacked, prop_b, times
+        )
 
     def integrate(self, f, ini_state, controls, prop, times,
                   idx_meas=None, write=True):

@@ -88,7 +88,9 @@ def newton_solve(
 
     res0 = assem_res(x0)
     err0 = norm_fn(res0)
-    big = jnp.asarray(jnp.inf, dtype=err0.dtype)
+    # data-derived (not a fresh constant): the while_loop carry must
+    # match the operands' varying-axes type under shard_map (jax 0.9)
+    big = jnp.inf + 0.0 * err0
 
     def cond(carry):
         x, res, err, err_prev, x_best, err_best, k = carry
@@ -112,8 +114,9 @@ def newton_solve(
         err_best = jnp.where(better, err_new, err_best)
         return (x, res, err_new, err, x_best, err_best, k + 1)
 
+    k0 = (0.0 * err0).astype(jnp.int32)  # data-derived (see `big`)
     x, res, err, err_prev, x_best, err_best, k = jax.lax.while_loop(
-        cond, body, (x0, res0, err0, big, x0, err0, 0)
+        cond, body, (x0, res0, err0, big, x0, err0, k0)
     )
     info = SolveInfo(
         num_iter=k,

@@ -235,13 +235,20 @@ def _seq_thomas_factor(D, L, U):
         Sinv = jnp.linalg.solve(Sm, eye)
         return Sinv, Sinv
 
-    _, Sinv = jax.lax.scan(body, 0.0 * D[0], (D, L, U_prev))
+    # carry init takes the UNION of the operands' varying axes: under a
+    # DP x TP mesh the reduced D is a constant identity (unvarying)
+    # while L/U carry the dp axis — 0.0*D[0] alone would type-mismatch
+    # the scan carry (jax 0.9 shard_map VMA)
+    init = 0.0 * (D[0] + L[0] + U_prev[0])
+    _, Sinv = jax.lax.scan(body, init, (D, L, U_prev))
     return Sinv
 
 
 def _seq_thomas_solve(Sinv, L, U, r):
     n, Bt, _ = Sinv.shape
-    zero = 0.0 * r[0]  # data-derived: keeps shard_map varying type
+    # data-derived inits over the UNION of operand varying axes (see
+    # _seq_thomas_factor): r alone may be missing an axis L/U/Sinv carry
+    zero = 0.0 * (r[0] + (Sinv[0] + L[0]) @ r[0])
 
     def fwd(y_prev, xs):
         Sinv_i, L_i, r_i = xs
@@ -249,13 +256,14 @@ def _seq_thomas_solve(Sinv, L, U, r):
         return y, y
 
     _, y = jax.lax.scan(fwd, zero, (Sinv, L, r))
+    zero_b = 0.0 * (y[0] + (Sinv[0] + U[0]) @ y[0])
 
     def bwd(x_next, xs):
         Sinv_i, U_i, y_i = xs
         x = y_i - Sinv_i @ (U_i @ x_next)
         return x, x
 
-    _, x = jax.lax.scan(bwd, zero, (Sinv, U, y), reverse=True)
+    _, x = jax.lax.scan(bwd, zero_b, (Sinv, U, y), reverse=True)
     return x
 
 
