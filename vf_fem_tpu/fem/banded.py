@@ -303,6 +303,12 @@ def _gather_impl(plan: BandedPlan, F: jnp.ndarray) -> jnp.ndarray:
     if _interpret():
         # cpu-default process (tests): interpret-mode kernel everywhere
         return _pallas_gather(plan, F)
+    if F.dtype == jnp.float64:
+        # XLA's TPU f64 is an HLO-level software-emulation rewrite that
+        # Mosaic does not perform — the one-hot dot_general cannot run
+        # f64 inside a Pallas kernel.  The mixed-precision path (f64
+        # state + f32 factors) takes the indexed gather instead.
+        return _xla_gather(plan, F)
     # tpu-default process: native kernel for TPU lowerings; indexed
     # fallback when the same program is lowered for another platform
     # (e.g. a CPU baseline leg in a TPU process)
@@ -316,6 +322,8 @@ def _gather_impl(plan: BandedPlan, F: jnp.ndarray) -> jnp.ndarray:
 def _scatter_impl(plan: BandedPlan, loc: jnp.ndarray) -> jnp.ndarray:
     if _interpret():
         return _pallas_scatter(plan, loc)
+    if loc.dtype == jnp.float64:
+        return _xla_scatter(plan, loc)  # no f64 dot_general in Mosaic
     return jax.lax.platform_dependent(
         loc,
         tpu=partial(_pallas_scatter, plan),
@@ -414,8 +422,8 @@ def _gather_impl_t(plan: BandedPlan, F: jnp.ndarray) -> jnp.ndarray:
     inside shard_map trips jax's VMA checker on the interpreter's
     internal loop state — the single-chip interpret tests cover the
     kernels themselves.)"""
-    if _interpret():
-        return _xla_gather(plan, F)
+    if _interpret() or F.dtype == jnp.float64:
+        return _xla_gather(plan, F)  # no f64 dot_general in Mosaic
     return jax.lax.platform_dependent(
         F,
         tpu=partial(_pallas_gather, plan),
@@ -424,8 +432,8 @@ def _gather_impl_t(plan: BandedPlan, F: jnp.ndarray) -> jnp.ndarray:
 
 
 def _scatter_impl_t(plan: BandedPlan, loc: jnp.ndarray) -> jnp.ndarray:
-    if _interpret():
-        return _xla_scatter(plan, loc)
+    if _interpret() or loc.dtype == jnp.float64:
+        return _xla_scatter(plan, loc)  # no f64 dot_general in Mosaic
     return jax.lax.platform_dependent(
         loc,
         tpu=partial(_pallas_scatter, plan),

@@ -194,7 +194,8 @@ class ExplicitFSAIModel(BaseTransientModel):
         def sl_views(state):
             return {k: state[k] for k in ("u", "v", "a")}
 
-        def solve_flow(u1, state0, control, prop, fl_prop, ac_prop):
+        def solve_flow(u1, state0, control, prop, fl_prop, ac_prop,
+                       params=_params_key(None)):
             """Interactive source: solve ``q`` against the tract's
             instantaneous input-pressure law ``psup = z q + 2 b2``
             jointly with the quasi-steady fluid (bracketed root solve —
@@ -212,7 +213,12 @@ class ExplicitFSAIModel(BaseTransientModel):
                     {"area": area, **ext, "psup": psup}, fl_prop, proto
                 )
 
-            qp, _ = solve_flow_root(fluid_at, state0["q"])
+            pd = dict(params)
+            qp, _ = solve_flow_root(
+                fluid_at, state0["q"],
+                n_expand=int(pd.get("fsai_expand_iterations", 12)),
+                n_bisect=int(pd.get("fsai_bisect_iterations", 34)),
+            )
             return qp, pinc_1
 
         def step_with(solid_solve, state1_guess, state0, control, prop,
@@ -225,7 +231,8 @@ class ExplicitFSAIModel(BaseTransientModel):
                 {"p1": p_solid}, sl_prop, dt, params,
             )
             qp1, pinc_1 = solve_flow(
-                uva1["u"], state0, control, fsi_prop, fl_prop, ac_prop
+                uva1["u"], state0, control, fsi_prop, fl_prop, ac_prop,
+                params,
             )
             pinc1, pref1 = full(
                 pinc_1, state0["pinc"], state0["pref"], qp1["q"], ac_prop

@@ -451,6 +451,18 @@ class DDIntegrator:
         # cost center, 'plain' (default) keeps indexed gathers
         asm = str(self.params.get("assembly", "plain"))
         self.bplan = None
+        if asm == "banded" and dp_axis is not None:
+            # the Pallas kernels' declared output VMA carries only the
+            # slab axis, and under vmap the plain indexed path wins
+            # anyway (batch-amortized gather indices — CLAUDE round-2)
+            raise ValueError(
+                "banded DD assembly does not compose with dp_axis"
+                " (DP x TP batched runs use assembly='plain')"
+            )
+        if asm == "auto" and (
+            dp_axis is not None or jax.default_backend() not in ("tpu",)
+        ):
+            asm = "plain"  # interpret-mode Pallas / vmapped: not a win
         if asm in ("banded", "auto"):
             self.bplan = plan_dd_banded(model, self.plan)
             if self.bplan is None and asm == "banded":
@@ -459,8 +471,6 @@ class DDIntegrator:
                     " (dof/vertex misalignment or non-contiguous slab"
                     " cell ids)"
                 )
-            if asm == "auto" and jax.default_backend() not in ("tpu",):
-                self.bplan = None  # interpret-mode Pallas: not a win
         self._fn_cache = {}
 
     # ------------------------------------------------------------------
@@ -1214,7 +1224,11 @@ class DDIntegrator:
                     {"area": area, **ext, "psup": psup}, prop_f, proto
                 )
 
-            qp, _ = solve_flow_root(fluid_at, state["q"])
+            qp, _ = solve_flow_root(
+                fluid_at, state["q"],
+                n_expand=int(params_d.get("fsai_expand_iterations", 12)),
+                n_bisect=int(params_d.get("fsai_bisect_iterations", 34)),
+            )
             pinc1, pref1 = wra_full(
                 pinc_1, state["pinc"], state["pref"], qp["q"], ac_prop
             )

@@ -145,15 +145,7 @@ def _interface_correct_local(g, red, V, W, axis: str):
     xb_prev = jnp.where(idx > 0, z[jnp.maximum(idx - 1, 0), Bt:], 0.0)
 
     def mv(A, x):
-        # bf16-stored / f32 mixed-precision factors: product in the
-        # factor dtype, f32 accumulation, result in the vector dtype
-        if A.dtype != x.dtype or A.dtype == jnp.bfloat16:
-            out = jnp.einsum(
-                "smij,j->smi", A, x.astype(A.dtype),
-                preferred_element_type=jnp.float32,
-            )
-            return out.astype(sp._mixed_target(x.dtype))
-        return jnp.einsum("smij,j->smi", A, x)
+        return sp._mixed_einsum("smij,j->smi", A, x)
 
     return g - mv(V, xt_next) - mv(W, xb_prev)
 

@@ -78,40 +78,33 @@ def _mixed_target(x_dtype):
     return jnp.float32 if x_dtype == jnp.bfloat16 else x_dtype
 
 
-def _bmm(A, X):
-    """Batched ``A @ X`` in the factor dtype, f32 accumulation.
+def _mixed_einsum(subs, A, x):
+    """Factor-vector einsum in the factor dtype, f32 accumulation.
 
     Handles bf16-stored factors (half-bandwidth streaming) AND the TPU
     mixed-precision path (f32 factors under f64 vectors — no f64 MXU;
     see ``btd._mv``): the product runs in ``A.dtype``, the result is
-    cast back to the vector dtype."""
-    if A.dtype != X.dtype or A.dtype == jnp.bfloat16:
+    cast back to the vector dtype.  The single site for the solver
+    family's precision policy."""
+    if A.dtype != x.dtype or A.dtype == jnp.bfloat16:
         out = jnp.einsum(
-            "...ij,...jk->...ik", A, X.astype(A.dtype),
+            subs, A, x.astype(A.dtype),
             preferred_element_type=jnp.float32,
         )
-        return out.astype(_mixed_target(X.dtype))
-    return jnp.einsum("...ij,...jk->...ik", A, X)
+        return out.astype(_mixed_target(x.dtype))
+    return jnp.einsum(subs, A, x)
+
+
+def _bmm(A, X):
+    return _mixed_einsum("...ij,...jk->...ik", A, X)
 
 
 def _bmv(A, x):
-    if A.dtype != x.dtype or A.dtype == jnp.bfloat16:
-        out = jnp.einsum(
-            "...ij,...j->...i", A, x.astype(A.dtype),
-            preferred_element_type=jnp.float32,
-        )
-        return out.astype(_mixed_target(x.dtype))
-    return jnp.einsum("...ij,...j->...i", A, x)
+    return _mixed_einsum("...ij,...j->...i", A, x)
 
 
 def _bmv_t(A, x):
-    if A.dtype != x.dtype or A.dtype == jnp.bfloat16:
-        out = jnp.einsum(
-            "...ji,...j->...i", A, x.astype(A.dtype),
-            preferred_element_type=jnp.float32,
-        )
-        return out.astype(_mixed_target(x.dtype))
-    return jnp.einsum("...ji,...j->...i", A, x)
+    return _mixed_einsum("...ji,...j->...i", A, x)
 
 
 def _scan_m(f, xs_tuple, init, reverse=False):
@@ -393,13 +386,7 @@ def _interface_correct(g, red, V, W):
     xb_prev = jnp.concatenate([jnp.zeros_like(xb[:1]), xb[:-1]], axis=0)
 
     def spike_mv(A, x):  # (S, m, Bt, Bt) @ (S, Bt) -> (S, m, Bt)
-        if A.dtype != x.dtype or A.dtype == jnp.bfloat16:
-            out = jnp.einsum(
-                "smij,sj->smi", A, x.astype(A.dtype),
-                preferred_element_type=jnp.float32,
-            )
-            return out.astype(_mixed_target(x.dtype))
-        return jnp.einsum("smij,sj->smi", A, x)
+        return _mixed_einsum("smij,sj->smi", A, x)
 
     return g - spike_mv(V, xt_next) - spike_mv(W, xb_prev)
 
