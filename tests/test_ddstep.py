@@ -554,6 +554,79 @@ def test_dd_dp_tp_sweep_matches_single_device():
     ).max() > 1e-6
 
 
+def test_dd_dp_tp_sweep_implicit_matches_single_device():
+    """DP x TP composes with the implicit (Picard) coupling: batched
+    stiffness variants of the DOF-sharded Picard loop reproduce each
+    variant's single-device implicit trajectory."""
+    from vf_fem_tpu.parallel.ddstep import DDIntegrator
+
+    mesh = rcm_mesh(vocal_fold_mesh(20, 10))
+    ymax = mesh.coords[:, 1].max()
+    model = load_fsi_model(
+        mesh, slr.KelvinVoigt, flr.BernoulliSmoothMinSep,
+        coupling="implicit",
+    )
+    prop = model.prop
+    prop["emod"][:] = 5e4
+    prop["rho"][:] = 1.0
+    prop["eta"][:] = 3.0
+    prop["nu"][:] = 0.45
+    prop["ycontact"][:] = ymax + 0.05
+    prop["kcontact"][:] = 1e8
+    prop["rho_air"][:] = 1.1225e-3
+    prop["zeta_min"][:] = 1e-3
+    prop["zeta_sep"][:] = 1e-3
+    prop["ymid"][:] = ymax + 0.01
+    model.set_prop(prop)
+    model.control["psub"][:] = 8000.0
+    model.set_control(model.control)
+
+    state0 = {k: np.zeros_like(np.asarray(v))
+              for k, v in model.state0.sub_items()}
+    cs = forward._stack_controls(model, [model.control])
+    pd = model.prop_to_dict(model.prop)
+    times = np.asarray(5e-5 * np.arange(9))
+
+    emods = np.asarray([4e4, 8e4])
+    B = len(emods)
+    prop_b = {
+        k: np.broadcast_to(np.asarray(v), (B,) + np.shape(v)).copy()
+        for k, v in pd.items()
+    }
+    prop_b["emod"] = np.broadcast_to(
+        emods[:, None], (B, pd["emod"].shape[0])
+    ).copy()
+    state0_b = {
+        k: np.broadcast_to(v, (B,) + v.shape).copy()
+        for k, v in state0.items()
+    }
+
+    mesh2 = Mesh(
+        np.asarray(jax.devices("cpu")[:8]).reshape(2, 4), ("dp", "shard")
+    )
+    dd = DDIntegrator(
+        model, mesh2, dp_axis="dp",
+        params={"jacobian_refresh_steps": 4},
+    )
+    _, traj_b, infos_b = dd.integrate_batch_pure(
+        state0_b, cs, prop_b, times
+    )
+    assert np.all(np.asarray(infos_b.num_iter) <= 50)
+
+    for i in range(B):
+        pd_i = dict(pd)
+        pd_i["emod"] = prop_b["emod"][i]
+        _, traj_ref, _ = forward.integrate_pure(
+            model, state0, cs, pd_i, times, {"jacobian_refresh_steps": 1}
+        )
+        u_ref = np.asarray(traj_ref["u"])
+        scale = max(np.abs(u_ref).max(), 1e-30)
+        # Picard-certificate agreement level (see the 1D implicit test)
+        assert np.abs(
+            np.asarray(traj_b["u"])[i] - u_ref
+        ).max() < 1e-6 * scale, i
+
+
 def test_dd_dp_tp_sweep_adjoint_matches_single_device():
     """Gradients flow through the DP x TP batched sharded loop: the
     per-variant emod gradient of a batched loss matches each variant's

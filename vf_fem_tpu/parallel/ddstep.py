@@ -552,6 +552,20 @@ class DDIntegrator:
         def pnorm(v):
             return jnp.sqrt(jax.lax.psum(jnp.sum(v * v), axis))
 
+        # Under a 2D DP x TP mesh each dp row runs an independent
+        # instance of every adaptive loop, but the loop bodies contain
+        # tp-collectives that rendezvous across the WHOLE mesh: if rows
+        # disagree on trip count the program deadlocks.  All adaptive
+        # loops therefore run while ANY row is active (any-reduced
+        # predicate) with per-row masked commits.
+        dp_ax = self.dp_axis
+        uniform = (
+            None if dp_ax is None
+            else lambda pred: jax.lax.psum(
+                pred.astype(jnp.int32), dp_ax
+            ) > 0
+        )
+
         # ---- per-element closures (mirror SolidModel.jac_u_blocks) ------
         def cell_fn(dt):
             def f(u1_e, Xe, s0_e, local):
@@ -851,7 +865,8 @@ class DDIntegrator:
                 return spike_apply(fac, d_loc, r)
 
             return newton_solve(
-                u_guess, assem, solve_jac, params_d, norm_fn=pnorm
+                u_guess, assem, solve_jac, params_d, norm_fn=pnorm,
+                uniform_pred=uniform,
             )
 
         @partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -897,22 +912,35 @@ class DDIntegrator:
             # data-derived init (union varying axes under DP x TP VMA)
             big = jnp.inf + 0.0 * rn
 
-            def cond(carry):
+            def own_active(carry):
                 lam, r, rn, rn_prev, lam_b, rn_b, k = carry
                 return jnp.logical_and(
                     jnp.logical_and(rn >= tol * bnorm, rn < stag * rn_prev),
                     k < max_it,
                 )
 
+            def cond(carry):
+                act = own_active(carry)
+                return act if uniform is None else uniform(act)
+
             def body(carry):
                 lam, r, rn, rn_prev, lam_b, rn_b, k = carry
-                lam = lam + Mt(r)
-                r = u1_bar - JT(lam)
-                rn_new = pnorm(r)
-                better = rn_new < rn_b
-                lam_b = jnp.where(better, lam, lam_b)
+                act = own_active(carry)  # masked commit (dp lockstep)
+                lam_new = lam + Mt(r)
+                r_new = u1_bar - JT(lam_new)
+                rn_new = pnorm(r_new)
+                better = jnp.logical_and(act, rn_new < rn_b)
+                lam_b = jnp.where(better, lam_new, lam_b)
                 rn_b = jnp.where(better, rn_new, rn_b)
-                return (lam, r, rn_new, rn, lam_b, rn_b, k + 1)
+                return (
+                    jnp.where(act, lam_new, lam),
+                    jnp.where(act, r_new, r),
+                    jnp.where(act, rn_new, rn),
+                    jnp.where(act, rn, rn_prev),
+                    lam_b,
+                    rn_b,
+                    k + act.astype(k.dtype),
+                )
 
             lam = jax.lax.while_loop(
                 cond, body,
@@ -1042,7 +1070,7 @@ class DDIntegrator:
             # data-derived inits (union varying axes under DP x TP VMA)
             big = jnp.inf + 0.0 * err0
 
-            def cond(carry):
+            def own_active(carry):
                 x, err, err_prev, k = carry
                 not_conv = jnp.logical_and(
                     err >= abs_tol, err >= rel_tol * err0
@@ -1052,10 +1080,26 @@ class DDIntegrator:
                     k < max_fp,
                 )
 
+            def cond(carry):
+                act = own_active(carry)
+                return act if uniform is None else uniform(act)
+
             def body(carry):
                 x, err, err_prev, k = carry
+                # masked commit: a converged dp row keeps iterating for
+                # collective lockstep without moving its state
+                act = own_active(carry)
                 x_new = picard(x)
-                return (x_new, _coupled_delta(x_new, x), err, k + 1)
+                x2 = tuple(
+                    jnp.where(act, xn, xo) for xn, xo in zip(x_new, x)
+                )
+                err_new = _coupled_delta(x_new, x)
+                return (
+                    x2,
+                    jnp.where(act, err_new, err),
+                    jnp.where(act, err, err_prev),
+                    k + act.astype(k.dtype),
+                )
 
             x, err, _, k = jax.lax.while_loop(
                 cond, body,
@@ -1107,7 +1151,7 @@ class DDIntegrator:
             # data-derived inits (union varying axes under DP x TP VMA)
             big = jnp.inf + 0.0 * inc0
 
-            def cond(carry):
+            def own_active(carry):
                 lam, inc, inc_prev, k = carry
                 not_conv = jnp.logical_and(
                     inc >= abs_tol, inc >= rel_tol * bnorm
@@ -1117,10 +1161,24 @@ class DDIntegrator:
                     k < max_fp,
                 )
 
+            def cond(carry):
+                act = own_active(carry)
+                return act if uniform is None else uniform(act)
+
             def body(carry):
                 lam, inc, inc_prev, k = carry
+                act = own_active(carry)  # masked commit (dp lockstep)
                 lam_new = next_lam(lam)
-                return (lam_new, _coupled_delta(lam_new, lam), inc, k + 1)
+                lam2 = tmap(
+                    lambda a, b: jnp.where(act, a, b), lam_new, lam
+                )
+                inc_new = _coupled_delta(lam_new, lam)
+                return (
+                    lam2,
+                    jnp.where(act, inc_new, inc),
+                    jnp.where(act, inc, inc_prev),
+                    k + act.astype(k.dtype),
+                )
 
             lam = jax.lax.while_loop(
                 cond, body,
@@ -1226,8 +1284,8 @@ class DDIntegrator:
 
             qp, _ = solve_flow_root(
                 fluid_at, state["q"],
-                n_expand=int(params_d.get("fsai_expand_iterations", 12)),
-                n_bisect=int(params_d.get("fsai_bisect_iterations", 34)),
+                n_expand=int(params_d.get("fsai_expand_iterations", 4)),
+                n_bisect=int(params_d.get("fsai_bisect_iterations", 20)),
             )
             pinc1, pref1 = wra_full(
                 pinc_1, state["pinc"], state["pref"], qp["q"], ac_prop

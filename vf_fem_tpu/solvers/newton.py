@@ -34,6 +34,7 @@ def newton_solve(
     solve_jac: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
     params: dict = None,
     norm_fn: Callable = None,
+    uniform_pred: Callable = None,
 ):
     """
     Solve ``res(x) = 0`` by Newton's method.
@@ -46,6 +47,16 @@ def newton_solve(
     ``norm_fn`` overrides the residual norm — the DOF-sharded integrator
     (``parallel.ddstep``) passes a ``psum``-reduced norm so every device
     takes identical Newton branches.
+
+    ``uniform_pred`` maps this instance's continue-predicate to a
+    trip-count predicate shared by all instances that must stay in
+    lockstep.  When the loop body contains collectives (sharded
+    assembly/solves) and several independent instances run on disjoint
+    mesh-axis subgroups (DP x TP: one per dp row), EVERY instance must
+    execute the same number of bodies or the collectives deadlock — the
+    caller passes an any-reduction over the dp axis, converged
+    instances keep iterating with their commits masked, and the
+    per-instance result is unchanged.
     """
     params = {**DEFAULT_NEWTON_SOLVER_PRM, **(params or {})}
     abs_tol = params["absolute_tolerance"]
@@ -92,7 +103,7 @@ def newton_solve(
     # match the operands' varying-axes type under shard_map (jax 0.9)
     big = jnp.inf + 0.0 * err0
 
-    def cond(carry):
+    def own_active(carry):
         x, res, err, err_prev, x_best, err_best, k = carry
         not_conv = jnp.logical_and(err >= abs_tol, err >= rel_tol * err0)
         progressing = err < stagnation_ratio * err_prev
@@ -100,19 +111,35 @@ def newton_solve(
             jnp.logical_and(not_conv, progressing), k < max_iter
         )
 
+    def cond(carry):
+        act = own_active(carry)
+        return act if uniform_pred is None else uniform_pred(act)
+
     def body(carry):
         x, res, err, err_prev, x_best, err_best, k = carry
+        # an instance whose own stop has fired may still be executing
+        # bodies for collective lockstep (see uniform_pred): its commits
+        # are masked so the returned state is its own stopping point
+        act = own_active(carry)
         dx = solve_jac(x, res)
-        x = x - dx
-        res = assem_res(x)
-        err_new = norm_fn(res)
+        x_new = x - dx
+        res_new = assem_res(x_new)
+        err_new = norm_fn(res_new)
         # Track the best iterate: with an approximate Jacobian (stale /
         # Newton–Schulz-refreshed factors) an iteration can overshoot; the
         # returned state must be the lowest-residual one seen, not the last.
-        better = err_new < err_best
-        x_best = jnp.where(better, x, x_best)
+        better = jnp.logical_and(act, err_new < err_best)
+        x_best = jnp.where(better, x_new, x_best)
         err_best = jnp.where(better, err_new, err_best)
-        return (x, res, err_new, err, x_best, err_best, k + 1)
+        return (
+            jnp.where(act, x_new, x),
+            jnp.where(act, res_new, res),
+            jnp.where(act, err_new, err),
+            jnp.where(act, err, err_prev),
+            x_best,
+            err_best,
+            k + act.astype(k.dtype),
+        )
 
     k0 = (0.0 * err0).astype(jnp.int32)  # data-derived (see `big`)
     x, res, err, err_prev, x_best, err_best, k = jax.lax.while_loop(
