@@ -788,6 +788,63 @@ def test_dd_integrate_fsai_matches_single_device():
     )
 
 
+def test_dd_dp_tp_sweep_fsai_matches_single_device():
+    """DP x TP composes with the two-way FSAI coupling: batched
+    stiffness variants of the DOF-sharded source-tract loop reproduce
+    each variant's single-device trajectory (with this, every transient
+    coupling family runs batched x sharded)."""
+    from vf_fem_tpu.parallel.ddstep import DDIntegrator
+
+    model = _make_fsai_model(20, 10)
+    state0 = {k: np.zeros_like(np.asarray(v))
+              for k, v in model.state0.sub_items()}
+    cs = forward._stack_controls(model, [model.control])
+    pd = model.prop_to_dict(model.prop)
+    times = model.dt * np.arange(9)
+
+    emods = np.asarray([4e4, 8e4])
+    B = len(emods)
+    prop_b = {
+        k: np.broadcast_to(np.asarray(v), (B,) + np.shape(v)).copy()
+        for k, v in pd.items()
+    }
+    prop_b["emod"] = np.broadcast_to(
+        emods[:, None], (B, pd["emod"].shape[0])
+    ).copy()
+    state0_b = {
+        k: np.broadcast_to(v, (B,) + v.shape).copy()
+        for k, v in state0.items()
+    }
+
+    mesh2 = Mesh(
+        np.asarray(jax.devices("cpu")[:8]).reshape(2, 4), ("dp", "shard")
+    )
+    dd = DDIntegrator(
+        model, mesh2, dp_axis="dp",
+        params={"jacobian_refresh_steps": 4},
+    )
+    _, traj_b, infos_b = dd.integrate_batch_pure(
+        state0_b, cs, prop_b, times
+    )
+    assert np.all(np.isfinite(np.asarray(infos_b.abs_err)))
+
+    for i in range(B):
+        pd_i = dict(pd)
+        pd_i["emod"] = prop_b["emod"][i]
+        _, traj_ref, _ = forward.integrate_pure(
+            model, state0, cs, pd_i, times, {"jacobian_refresh_steps": 1}
+        )
+        u_ref = np.asarray(traj_ref["u"])
+        scale = max(np.abs(u_ref).max(), 1e-30)
+        assert np.abs(
+            np.asarray(traj_b["u"])[i] - u_ref
+        ).max() < 1e-9 * scale, i
+        np.testing.assert_allclose(
+            np.asarray(traj_b["pref"])[i], np.asarray(traj_ref["pref"]),
+            rtol=1e-8, atol=1e-10,
+        )
+
+
 def test_dd_fsai_adjoint_matches_single_device():
     """jax.grad through the sharded FSAI integrate (IFT vjp on the slab
     solves + the unrolled source-tract fixed point) agrees with the
