@@ -1496,6 +1496,11 @@ class DDIntegrator:
         assert self.dp_axis is not None, (
             "construct with dp_axis=... on a 2D mesh for batched runs"
         )
+        B = jax.tree_util.tree_leaves(prop_b)[0].shape[0]
+        ndp = int(self.mesh.shape[self.dp_axis])
+        assert B % ndp == 0, (
+            f"variant batch ({B}) must divide by the dp mesh axis ({ndp})"
+        )
         times = jnp.asarray(times)
         n_controls = jax.tree_util.tree_leaves(controls_stacked)[0].shape[0]
         n_steps = int(times.shape[0]) - 1
