@@ -278,6 +278,84 @@ def test_dd_integrate_implicit_matches_single_device():
     assert np.all(np.asarray(infos.num_iter) <= 50)
 
 
+def test_dd_dp_tp_implicit_adjoint_matches_single_device():
+    """The fixed-point IFT adjoint runs batched: per-variant gradients
+    through the DP x TP Picard loop (whose forward AND reverse
+    while_loops iterate in dp-lockstep with masked commits) match each
+    variant's single-device implicit adjoint."""
+    from vf_fem_tpu.parallel.ddstep import DDIntegrator
+
+    mesh = rcm_mesh(vocal_fold_mesh(20, 10))
+    ymax = mesh.coords[:, 1].max()
+    model = load_fsi_model(
+        mesh, slr.KelvinVoigt, flr.BernoulliSmoothMinSep,
+        coupling="implicit",
+    )
+    prop = model.prop
+    prop["emod"][:] = 5e4
+    prop["rho"][:] = 1.0
+    prop["eta"][:] = 3.0
+    prop["nu"][:] = 0.45
+    prop["ycontact"][:] = ymax + 0.05
+    prop["kcontact"][:] = 1e8
+    prop["rho_air"][:] = 1.1225e-3
+    prop["zeta_min"][:] = 1e-3
+    prop["zeta_sep"][:] = 1e-3
+    prop["ymid"][:] = ymax + 0.01
+    model.set_prop(prop)
+    model.control["psub"][:] = 8000.0
+    model.set_control(model.control)
+
+    state0 = {k: np.zeros_like(np.asarray(v))
+              for k, v in model.state0.sub_items()}
+    cs = forward._stack_controls(model, [model.control])
+    pd = model.prop_to_dict(model.prop)
+    times = np.asarray(5e-5 * np.arange(7))
+
+    emods = np.asarray([4e4, 8e4])
+    B = len(emods)
+    prop_b = {
+        k: np.broadcast_to(np.asarray(v), (B,) + np.shape(v)).copy()
+        for k, v in pd.items()
+    }
+    prop_b["emod"] = np.broadcast_to(
+        emods[:, None], (B, pd["emod"].shape[0])
+    ).copy()
+    state0_b = {
+        k: np.broadcast_to(v, (B,) + v.shape).copy()
+        for k, v in state0.items()
+    }
+
+    mesh2 = Mesh(
+        np.asarray(jax.devices("cpu")[:8]).reshape(2, 4), ("dp", "shard")
+    )
+    dd = DDIntegrator(
+        model, mesh2, dp_axis="dp",
+        params={"jacobian_refresh_steps": 4},
+    )
+
+    def loss_b(pb):
+        fin, _, _ = dd.integrate_batch_pure(state0_b, cs, pb, times)
+        return jnp.sum(fin["u"] ** 2) * 1e4
+
+    g_b = np.asarray(jax.grad(loss_b)(prop_b)["emod"])
+
+    for i in range(B):
+        pd_i = dict(pd)
+        pd_i["emod"] = prop_b["emod"][i]
+
+        def loss_1(p):
+            fin, _, _ = forward.integrate_pure(
+                model, state0, cs, p, times,
+                {"jacobian_refresh_steps": 1},
+            )
+            return jnp.sum(fin["u"] ** 2) * 1e4
+
+        g_ref = np.asarray(jax.grad(loss_1)(pd_i)["emod"])
+        err = np.abs(g_b[i] - g_ref).max() / max(np.abs(g_ref).max(), 1e-30)
+        assert err < 1e-4, (i, err)
+
+
 def test_dd_implicit_adjoint_matches_single_device():
     """The sharded Picard step carries a fixed-point IFT adjoint
     (lam <- xbar + F_x^T lam at the converged coupled point); gradients
