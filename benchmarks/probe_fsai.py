@@ -90,7 +90,7 @@ def main():
         "fixed_iterations": 2,
     }
 
-    budgets = [(12, 34), (6, 26), (4, 20), (2, 14)]
+    budgets = [(12, 34), (6, 26), (6, 20), (4, 20), (2, 14)]
     q_ref = None
     for ne, nb in budgets:
         tol = dict(

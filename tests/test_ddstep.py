@@ -585,7 +585,10 @@ def test_dd_dp_tp_sweep_matches_single_device():
     pd = model.prop_to_dict(model.prop)
     times = np.asarray(5e-5 * np.arange(11))
 
-    emods = np.asarray([4e4, 8e4])
+    # B = 4 on a 2-device dp axis: per-device local batch of 2, so the
+    # uniform dp-psum'd loop predicates compose with vmap's own batched
+    # while_loop masking (local batch > 1 path)
+    emods = np.asarray([4e4, 5.5e4, 7e4, 8e4])
     B = len(emods)
     prop_b = {
         k: np.broadcast_to(np.asarray(v), (B,) + np.shape(v)).copy()

@@ -56,7 +56,7 @@ from .transient import (
 __all__ = ["ExplicitFSAIModel", "solve_flow_root"]
 
 
-def solve_flow_root(fluid_at, q0, n_expand=4, n_bisect=20):
+def solve_flow_root(fluid_at, q0, n_expand=6, n_bisect=20):
     """Solve the interactive source-tract flow ``q = Q(psup(q))``.
 
     ``fluid_at(q)`` evaluates the quasi-steady fluid at the tract's
@@ -80,13 +80,15 @@ def solve_flow_root(fluid_at, q0, n_expand=4, n_bisect=20):
     bracketed (no root in reach — outside any physical regime).
 
     Budget: in-regime the initial interval ``[q0, f(q0)]`` already
-    brackets (``g' <= -1``), so ``n_expand`` is pure robustness margin
-    (each iteration doubles the interval) and ``n_bisect`` + the two
-    quadratic polish steps set the accuracy.  The (4, 20) default was
-    measured on TPU to be bit-identical in ``q`` to (12, 34) over 140
-    coupled M5 steps at 1.56x the step rate (the step is latency-bound
-    and the root solve's fluid evaluations are sequential); (2, 14)
-    starts to deviate (~4e-6).  Override per run with the
+    brackets (``g' <= -1``; n_expand is pure robustness margin, each
+    iteration doubling the interval — 6 gives 64x growth) and
+    ``n_bisect`` + the two quadratic polish steps set the accuracy.
+    Measured on TPU (``benchmarks/probe_fsai.py``): trajectories are
+    bit-identical in ``q`` to the conservative (12, 34) budget down to
+    (4, 20) over 140 coupled M5 steps, while (2, 14) deviates (~4e-6);
+    the step-rate gain is real but tunnel-noise-limited to measure at
+    M5 scale (~20 fewer sequential fluid evaluations per step, one
+    probe session showed 1.56x).  Override per run with the
     ``fsai_expand_iterations`` / ``fsai_bisect_iterations`` params.
 
     Returns ``(fluid_state_dict, bracketed)``.
@@ -226,7 +228,7 @@ class ExplicitFSAIModel(BaseTransientModel):
             pd = dict(params)
             qp, _ = solve_flow_root(
                 fluid_at, state0["q"],
-                n_expand=int(pd.get("fsai_expand_iterations", 4)),
+                n_expand=int(pd.get("fsai_expand_iterations", 6)),
                 n_bisect=int(pd.get("fsai_bisect_iterations", 20)),
             )
             return qp, pinc_1

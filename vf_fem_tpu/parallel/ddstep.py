@@ -566,6 +566,14 @@ class DDIntegrator:
             ) > 0
         )
 
+        def big_like(e0):
+            # FINITE stagnation sentinel (0 * inf = NaN through TPU's
+            # arithmetically-rewritten fused selects in masked bodies),
+            # data-derived for the VMA carry type
+            return 0.0 * e0 + jnp.asarray(
+                jnp.finfo(e0.dtype).max, e0.dtype
+            ) * 0.125
+
         # ---- per-element closures (mirror SolidModel.jac_u_blocks) ------
         def cell_fn(dt):
             def f(u1_e, Xe, s0_e, local):
@@ -909,8 +917,7 @@ class DDIntegrator:
             lam = Mt(u1_bar)
             r = u1_bar - JT(lam)
             rn = pnorm(r)
-            # data-derived init (union varying axes under DP x TP VMA)
-            big = jnp.inf + 0.0 * rn
+            big = big_like(rn)
 
             def own_active(carry):
                 lam, r, rn, rn_prev, lam_b, rn_b, k = carry
@@ -923,7 +930,17 @@ class DDIntegrator:
                 act = own_active(carry)
                 return act if uniform is None else uniform(act)
 
-            def body(carry):
+            def body_plain(carry):
+                lam, r, rn, rn_prev, lam_b, rn_b, k = carry
+                lam = lam + Mt(r)
+                r = u1_bar - JT(lam)
+                rn_new = pnorm(r)
+                better = rn_new < rn_b
+                lam_b = jnp.where(better, lam, lam_b)
+                rn_b = jnp.where(better, rn_new, rn_b)
+                return (lam, r, rn_new, rn, lam_b, rn_b, k + 1)
+
+            def body_masked(carry):
                 lam, r, rn, rn_prev, lam_b, rn_b, k = carry
                 act = own_active(carry)  # masked commit (dp lockstep)
                 lam_new = lam + Mt(r)
@@ -941,6 +958,8 @@ class DDIntegrator:
                     rn_b,
                     k + act.astype(k.dtype),
                 )
+
+            body = body_plain if uniform is None else body_masked
 
             lam = jax.lax.while_loop(
                 cond, body,
@@ -1067,8 +1086,7 @@ class DDIntegrator:
             rel_tol = params_d.get("fixedpoint_relative_tolerance", 1e-12)
             max_fp = int(params_d.get("fixedpoint_max_iterations", 50))
             stag = params_d.get("stagnation_ratio", 0.9)
-            # data-derived inits (union varying axes under DP x TP VMA)
-            big = jnp.inf + 0.0 * err0
+            big = big_like(err0)
 
             def own_active(carry):
                 x, err, err_prev, k = carry
@@ -1084,7 +1102,12 @@ class DDIntegrator:
                 act = own_active(carry)
                 return act if uniform is None else uniform(act)
 
-            def body(carry):
+            def body_plain(carry):
+                x, err, err_prev, k = carry
+                x_new = picard(x)
+                return (x_new, _coupled_delta(x_new, x), err, k + 1)
+
+            def body_masked(carry):
                 x, err, err_prev, k = carry
                 # masked commit: a converged dp row keeps iterating for
                 # collective lockstep without moving its state
@@ -1100,6 +1123,8 @@ class DDIntegrator:
                     jnp.where(act, err, err_prev),
                     k + act.astype(k.dtype),
                 )
+
+            body = body_plain if uniform is None else body_masked
 
             x, err, _, k = jax.lax.while_loop(
                 cond, body,
@@ -1148,8 +1173,7 @@ class DDIntegrator:
 
             lam1 = next_lam(xbar)
             inc0 = _coupled_delta(lam1, xbar)
-            # data-derived inits (union varying axes under DP x TP VMA)
-            big = jnp.inf + 0.0 * inc0
+            big = big_like(inc0)
 
             def own_active(carry):
                 lam, inc, inc_prev, k = carry
@@ -1165,7 +1189,12 @@ class DDIntegrator:
                 act = own_active(carry)
                 return act if uniform is None else uniform(act)
 
-            def body(carry):
+            def body_plain(carry):
+                lam, inc, inc_prev, k = carry
+                lam_new = next_lam(lam)
+                return (lam_new, _coupled_delta(lam_new, lam), inc, k + 1)
+
+            def body_masked(carry):
                 lam, inc, inc_prev, k = carry
                 act = own_active(carry)  # masked commit (dp lockstep)
                 lam_new = next_lam(lam)
@@ -1179,6 +1208,8 @@ class DDIntegrator:
                     jnp.where(act, inc, inc_prev),
                     k + act.astype(k.dtype),
                 )
+
+            body = body_plain if uniform is None else body_masked
 
             lam = jax.lax.while_loop(
                 cond, body,
@@ -1284,7 +1315,7 @@ class DDIntegrator:
 
             qp, _ = solve_flow_root(
                 fluid_at, state["q"],
-                n_expand=int(params_d.get("fsai_expand_iterations", 4)),
+                n_expand=int(params_d.get("fsai_expand_iterations", 6)),
                 n_bisect=int(params_d.get("fsai_bisect_iterations", 20)),
             )
             pinc1, pref1 = wra_full(
@@ -1497,6 +1528,10 @@ class DDIntegrator:
             "construct with dp_axis=... on a 2D mesh for batched runs"
         )
         B = jax.tree_util.tree_leaves(prop_b)[0].shape[0]
+        Bs = jax.tree_util.tree_leaves(state0_b)[0].shape[0]
+        assert B == Bs, (
+            f"prop batch ({B}) and state batch ({Bs}) must agree"
+        )
         ndp = int(self.mesh.shape[self.dp_axis])
         assert B % ndp == 0, (
             f"variant batch ({B}) must divide by the dp mesh axis ({ndp})"

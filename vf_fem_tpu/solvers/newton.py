@@ -100,8 +100,14 @@ def newton_solve(
     res0 = assem_res(x0)
     err0 = norm_fn(res0)
     # data-derived (not a fresh constant): the while_loop carry must
-    # match the operands' varying-axes type under shard_map (jax 0.9)
-    big = jnp.inf + 0.0 * err0
+    # match the operands' varying-axes type under shard_map (jax 0.9).
+    # FINITE sentinel, not inf — it flows through jnp.where unselected
+    # branches in the masked body, and TPU's fused select can be
+    # rewritten arithmetically (0 * inf = NaN; CLAUDE.md double-where
+    # rule), which would silently stop every loop after one iteration.
+    big = 0.0 * err0 + jnp.asarray(
+        jnp.finfo(err0.dtype).max, err0.dtype
+    ) * 0.125
 
     def own_active(carry):
         x, res, err, err_prev, x_best, err_best, k = carry
@@ -115,7 +121,21 @@ def newton_solve(
         act = own_active(carry)
         return act if uniform_pred is None else uniform_pred(act)
 
-    def body(carry):
+    def body_plain(carry):
+        x, res, err, err_prev, x_best, err_best, k = carry
+        dx = solve_jac(x, res)
+        x = x - dx
+        res = assem_res(x)
+        err_new = norm_fn(res)
+        # Track the best iterate: with an approximate Jacobian (stale /
+        # Newton–Schulz-refreshed factors) an iteration can overshoot; the
+        # returned state must be the lowest-residual one seen, not the last.
+        better = err_new < err_best
+        x_best = jnp.where(better, x, x_best)
+        err_best = jnp.where(better, err_new, err_best)
+        return (x, res, err_new, err, x_best, err_best, k + 1)
+
+    def body_masked(carry):
         x, res, err, err_prev, x_best, err_best, k = carry
         # an instance whose own stop has fired may still be executing
         # bodies for collective lockstep (see uniform_pred): its commits
@@ -125,9 +145,6 @@ def newton_solve(
         x_new = x - dx
         res_new = assem_res(x_new)
         err_new = norm_fn(res_new)
-        # Track the best iterate: with an approximate Jacobian (stale /
-        # Newton–Schulz-refreshed factors) an iteration can overshoot; the
-        # returned state must be the lowest-residual one seen, not the last.
         better = jnp.logical_and(act, err_new < err_best)
         x_best = jnp.where(better, x_new, x_best)
         err_best = jnp.where(better, err_new, err_best)
@@ -140,6 +157,10 @@ def newton_solve(
             err_best,
             k + act.astype(k.dtype),
         )
+
+    # the masked body only exists for lockstep callers — plain callers
+    # keep the original body (no per-iteration ndof-sized selects)
+    body = body_plain if uniform_pred is None else body_masked
 
     k0 = (0.0 * err0).astype(jnp.int32)  # data-derived (see `big`)
     x, res, err, err_prev, x_best, err_best, k = jax.lax.while_loop(
