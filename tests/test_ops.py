@@ -75,3 +75,40 @@ def test_bsb_matvec_pallas_matches_xla(rng):
     y_xla = np.asarray(bsb.bsb_matvec(plan, blocks, x))
     y_pl = np.asarray(bsb_matvec_pallas(plan, blocks, x, tile=8))
     np.testing.assert_allclose(y_pl, y_xla, rtol=1e-12, atol=1e-12)
+
+
+def test_newton_masked_body_matches_plain():
+    """The dp-lockstep masked Newton body (uniform_pred set) must
+    produce bit-identical iterates, telemetry, and trip count to the
+    plain body — an identity uniform_pred only changes which body is
+    traced, never the result.  (Also pins the finite stagnation
+    sentinel: an inf sentinel through the masked body's jnp.where is
+    the TPU 0*inf=NaN hazard.)"""
+    import jax
+    from vf_fem_tpu.solvers.newton import newton_solve
+
+    A = jnp.asarray(np.diag([3.0, 5.0, 7.0]))
+
+    def assem_res(x):
+        # mildly nonlinear residual with a known root
+        return A @ x + 0.1 * x**3 - jnp.asarray([1.0, 2.0, 3.0])
+
+    def solve_jac(x, r):
+        return jnp.linalg.solve(A + 0.3 * jnp.diag(x**2), r)
+
+    x0 = jnp.zeros(3)
+    params = {"absolute_tolerance": 1e-12, "relative_tolerance": 1e-14}
+    x_plain, info_plain = jax.jit(
+        lambda x: newton_solve(x, assem_res, solve_jac, params)
+    )(x0)
+    x_masked, info_masked = jax.jit(
+        lambda x: newton_solve(
+            x, assem_res, solve_jac, params, uniform_pred=lambda p: p
+        )
+    )(x0)
+    assert float(info_plain.abs_err) < 1e-12
+    np.testing.assert_array_equal(np.asarray(x_plain), np.asarray(x_masked))
+    assert int(info_plain.num_iter) == int(info_masked.num_iter)
+    np.testing.assert_array_equal(
+        np.asarray(info_plain.abs_err), np.asarray(info_masked.abs_err)
+    )
