@@ -5,7 +5,8 @@ The two parallel axes compose in one program: the solid DOF axis is
 partitioned in slabs over the `tp` mesh axis (per-slab assembly with
 ppermute halos + distributed SPIKE direct solves — a mesh too large for
 one chip), while a batch of stiffness variants shards over the `dp`
-axis.  Per-variant physics is bitwise the 1D-sharded run; the adaptive
+axis.  Per-variant physics matches the 1D-sharded run to solver
+tolerance (~1e-9 explicit / ~1e-6 implicit); the adaptive
 Newton/Picard loops iterate in dp-lockstep so the tp collectives stay
 aligned (see docs/PARALLEL.md).
 

@@ -218,6 +218,18 @@ def test_line_search(model, tmp_path):
             stored[k], fin_direct[k], rtol=1e-10, atol=1e-14
         )
 
+    # functional evaluated on every stored run (reference utils.py:91-98)
+    from vf_fem_tpu.utils import functional_on_line_search
+    from vf_fem_tpu.functional.solid import FinalDisplacementNorm
+
+    vals = functional_on_line_search(
+        [0.0, 1.0], FinalDisplacementNorm(model), model, path
+    )
+    assert vals.shape == (2,)
+    assert np.all(np.isfinite(vals))
+    # h=1 raised psub by 1000 Ba: the fold must deflect more
+    assert vals[1] > vals[0]
+
 
 def test_stale_and_ns_refresh_match_exact(model):
     """Frozen-Jacobian windows and Newton–Schulz inverse refresh both

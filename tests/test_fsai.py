@@ -272,3 +272,50 @@ def test_fsai_strong_interaction_regime_stays_bounded():
     u = np.asarray(traj["u"])
     assert np.all(np.isfinite(q)) and np.all(np.isfinite(u))
     assert np.abs(q).max() < 1e8 and np.abs(u).max() < 1e3
+
+
+def test_fsai_envelope_guard_warns():
+    """The envelope guard (round-4): a midline-crossing configuration
+    (contact plane at/above ymid) must raise a RuntimeWarning at
+    ``integrate`` entry instead of silently stepping into the regime
+    where the flow solve degrades to the lagged exchange."""
+    model = make_fsai_model(nx=8, ny=4)
+    prop = model.prop
+    ymax = float(np.asarray(model.solid._Xref)[:, 1].max())
+    prop["ycontact"][:] = ymax + 0.05  # above ymid: out of envelope
+    model.set_prop(prop)
+    ini = model.state0.copy()
+    ini[:] = 0.0
+    times = model.dt * np.arange(4)
+    with pytest.warns(RuntimeWarning, match="outside the supported envelope"):
+        fin, info = forward.integrate(
+            model, None, ini, [model.control], prop, times, write=False
+        )
+    # the runtime telemetry is present on every FSAI run
+    assert "lagged_fallback_steps" in info
+
+    # in-envelope runs pass the guard silently and report zero fallbacks
+    model2 = make_fsai_model(nx=8, ny=4)
+    assert model2.check_envelope()
+    fin2, info2 = forward.integrate(
+        model2, None, ini, [model2.control], model2.prop, times,
+        write=False,
+    )
+    assert info2["lagged_fallback_steps"] == 0
+
+
+def test_solve_flow_root_reports_bracket_failure():
+    """A root-free coupled map (g(q) = f(q) - q with no sign change in
+    reach) must come back flagged ``bracketed=False`` and fall back to
+    the lagged flow, which is what the integrate-level warning counts."""
+    from vf_fem_tpu.models.fsai import solve_flow_root
+
+    # f(q) = q + 1: g(q) = 1 everywhere — no root exists at all
+    def fluid_at(q):
+        return {"q": jnp.reshape(q + 1.0, (1,)), "p": jnp.zeros((3,))}
+
+    q0 = jnp.asarray([2.5])
+    out, bracketed = solve_flow_root(fluid_at, q0, n_expand=4, n_bisect=8)
+    assert not bool(bracketed)
+    # lagged fallback: the fluid is evaluated AT the previous flow
+    np.testing.assert_allclose(np.asarray(out["q"]), [3.5], rtol=1e-12)

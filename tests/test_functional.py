@@ -142,6 +142,34 @@ def test_timeseries(model, solved_file):
     assert stats.max(solved_file) >= stats.min(solved_file)
 
 
+def test_derived_measure_bases(model, solved_file):
+    """The reference's derived/history extension points
+    (``postprocess/base.py:68,89``): a measure derived from another
+    instant measure batches under ``TimeSeries`` like a primitive one,
+    and a custom history measure consumes the statefile directly."""
+    from vf_fem_tpu.postprocess import (
+        BaseDerivedStateMeasure,
+        BaseStateHistoryMeasure,
+    )
+
+    class Doubled(BaseDerivedStateMeasure):
+        def assem_pure(self, state, control, prop):
+            return 2.0 * self.func.assem_pure(state, control, prop)
+
+    base_m = psl.MinGlottalWidthFromSolid(model)
+    derived = Doubled(base_m)
+    assert derived.model is model
+    gw = TimeSeries(base_m)(solved_file)
+    gw2 = TimeSeries(derived)(solved_file)
+    np.testing.assert_allclose(gw2, 2.0 * gw, rtol=1e-12)
+
+    class NumStates(BaseStateHistoryMeasure):
+        def assem(self, f):
+            return f.size
+
+    assert NumStates(model)(solved_file) == solved_file.size
+
+
 def test_fieldstats(model, solved_file):
     stats = psl.FieldStats(model, psl.StressVonMisesField(model))
     state = solved_file.get_state(2)

@@ -356,6 +356,12 @@ def integrate(
     state0 = {k: np.asarray(v) for k, v in ini_state.sub_items()}
     controls_stacked = _stack_controls(model, controls)
     prop_d = model.prop_to_dict(prop)
+    # models with a restricted supported regime (FSAI) verify the run's
+    # properties up front and warn (static half of the envelope guard;
+    # the runtime half is the per-step telemetry in finalize_run)
+    check = getattr(model, "check_envelope", None)
+    if check is not None:
+        check(prop_d)
 
     fin_state, traj, infos = _integrate_windowed(
         model, state0, controls_stacked, prop_d, times, newton_solver_prm,
@@ -455,6 +461,26 @@ def finalize_run(
     last_info["uncertified_steps"] = certify_fixed_iterations(
         newton_solver_prm, step_info
     )
+    # runtime half of the FSAI envelope guard: steps whose interactive
+    # flow solve failed to bracket fell back to the one-step-LAGGED
+    # exchange (marginally unstable; models/fsai.py docstring) — count
+    # them and warn instead of silently degrading
+    bracketed = getattr(infos, "bracketed", None)
+    if bracketed is not None:
+        n_lagged = int((~np.asarray(bracketed).astype(bool)).sum())
+        last_info["lagged_fallback_steps"] = n_lagged
+        if n_lagged:
+            import warnings
+
+            warnings.warn(
+                f"integrate: {n_lagged}/{n_steps} FSAI steps could not"
+                " bracket the interactive flow root and fell back to"
+                " the marginally-unstable lagged exchange — the"
+                " configuration is outside the supported envelope"
+                " (contact plane must lie below the channel midline;"
+                " models/fsai.py)",
+                RuntimeWarning,
+            )
     return fin_bv, last_info
 
 

@@ -39,7 +39,7 @@ glottal area.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import numpy as np
 import jax
@@ -53,7 +53,24 @@ from .transient import (
     _params_key,
 )
 
-__all__ = ["ExplicitFSAIModel", "solve_flow_root"]
+__all__ = ["ExplicitFSAIModel", "FSAISolveInfo", "solve_flow_root"]
+
+
+class FSAISolveInfo(NamedTuple):
+    """Per-step solver telemetry for the coupled FSAI step.
+
+    Extends the solid Newton's ``SolveInfo`` with ``bracketed``: whether
+    the interactive flow root solve bracketed a sign change.  A step
+    with ``bracketed == False`` fell back to the one-step-LAGGED
+    exchange — the scheme measured marginally unstable — so
+    ``forward.finalize_run`` counts these and warns (the runtime half of
+    the envelope guard; the static half is
+    :meth:`ExplicitFSAIModel.check_envelope`)."""
+
+    num_iter: jnp.ndarray
+    abs_err: jnp.ndarray
+    rel_err: jnp.ndarray
+    bracketed: jnp.ndarray
 
 
 def solve_flow_root(fluid_at, q0, n_expand=6, n_bisect=20):
@@ -226,12 +243,12 @@ class ExplicitFSAIModel(BaseTransientModel):
                 )
 
             pd = dict(params)
-            qp, _ = solve_flow_root(
+            qp, bracketed = solve_flow_root(
                 fluid_at, state0["q"],
                 n_expand=int(pd.get("fsai_expand_iterations", 6)),
                 n_bisect=int(pd.get("fsai_bisect_iterations", 20)),
             )
-            return qp, pinc_1
+            return qp, pinc_1, bracketed
 
         def step_with(solid_solve, state1_guess, state0, control, prop,
                       dt, params):
@@ -242,12 +259,18 @@ class ExplicitFSAIModel(BaseTransientModel):
                 sl_views(state1_guess), sl_views(state0),
                 {"p1": p_solid}, sl_prop, dt, params,
             )
-            qp1, pinc_1 = solve_flow(
+            qp1, pinc_1, bracketed = solve_flow(
                 uva1["u"], state0, control, fsi_prop, fl_prop, ac_prop,
                 params,
             )
             pinc1, pref1 = full(
                 pinc_1, state0["pinc"], state0["pref"], qp1["q"], ac_prop
+            )
+            info = FSAISolveInfo(
+                num_iter=info.num_iter,
+                abs_err=info.abs_err,
+                rel_err=info.rel_err,
+                bracketed=bracketed,
             )
             return {**uva1, **qp1, "pinc": pinc1, "pref": pref1}, info
 
@@ -338,6 +361,42 @@ class ExplicitFSAIModel(BaseTransientModel):
             }
 
         self.res_pure = res_pure
+
+    def check_envelope(self, prop: Optional[dict] = None) -> bool:
+        """Warn when the configuration leaves the supported FSAI envelope.
+
+        Supported regime: the contact plane BELOW the channel midline
+        (``ycontact < ymid``), so collision stops closure at a positive
+        glottal area.  At/above the midline (or with no contact plane at
+        all, the ``ycontact = inf`` default) large oscillations can drive
+        the fluid into the clamped-area regime where the interactive
+        ``q`` fixed point has no physical root and steps silently fall
+        back to the LAGGED exchange — the scheme measured marginally
+        unstable (module docstring).  ``forward.integrate`` calls this
+        with the run's property dict; the runtime complement is the
+        per-step ``bracketed`` telemetry (``FSAISolveInfo``).
+
+        Returns True when inside the envelope."""
+        if prop is None:
+            prop = {k: np.asarray(v) for k, v in self.prop.sub_items()}
+        yc = float(np.asarray(prop["ycontact"]).ravel()[0])
+        ymid = float(np.asarray(prop["ymid"]).ravel()[0])
+        if not yc < ymid:
+            import warnings
+
+            warnings.warn(
+                "FSAI configuration outside the supported envelope: the"
+                f" contact plane (ycontact={yc:g}) must lie BELOW the"
+                f" channel midline (ymid={ymid:g}) so collision stops"
+                " closure at a positive glottal area.  In the clamped-"
+                "area regime the interactive flow solve can fail to"
+                " bracket and steps fall back to the marginally-unstable"
+                " lagged exchange (watch the 'lagged_fallback_steps'"
+                " run info).",
+                RuntimeWarning,
+            )
+            return False
+        return True
 
     # -- OO API ----------------------------------------------------------------
     @property

@@ -56,7 +56,7 @@ def _params_key(params: Optional[dict]) -> tuple:
     return tuple(sorted(params.items()))
 
 
-_ITERATIVE_SOLVERS = ("cg", "bsb", "btd", "spike")
+_ITERATIVE_SOLVERS = ("cg", "bsb", "btd", "spike", "pcr")
 # adjoint (transposed) solve fallbacks by linear_solver; 'btd' needs none:
 # the stored Thomas factors solve A^T x = r directly (btd_solve_t)
 _BWD_FALLBACK = {}
@@ -88,6 +88,13 @@ def _iter_solve(factors, r, params_d, transpose=False, bsb_plan=None):
         if transpose:
             return spike_mod.spike_solve_t(bsb_plan, factors, r)
         return spike_mod.spike_solve(bsb_plan, factors, r)
+
+    if params_d.get("linear_solver") == "pcr":
+        from ..solvers import pcr as pcr_mod
+
+        if transpose:
+            return pcr_mod.pcr_solve_t(bsb_plan, factors, r)
+        return pcr_mod.pcr_solve(bsb_plan, factors, r)
 
     A, Dinv = factors
     block = Dinv.shape[-1]
@@ -518,6 +525,17 @@ class SolidModel(BaseTransientModel):
                     store_dtype=params_d.get("btd_store_dtype"),
                     factor_dtype=params_d.get("btd_factor_dtype"),
                 )
+            if ls == "pcr":
+                from ..solvers import bsb as bsb_mod, pcr as pcr_mod
+
+                blocks = bsb_mod.bsb_fill(
+                    get_bsb_plan(), [op.J_cells, op.J_facets]
+                )
+                return pcr_mod.pcr_factor(
+                    get_bsb_plan(), blocks,
+                    store_dtype=params_d.get("btd_store_dtype"),
+                    factor_dtype=params_d.get("btd_factor_dtype"),
+                )
             Dinv = op.block_diag_inverse(dim)
             if ls == "bsb":
                 from ..solvers import bsb as bsb_mod
@@ -531,7 +549,7 @@ class SolidModel(BaseTransientModel):
         def iter_solve(factors, r, params_d, transpose=False):
             plan = (
                 get_bsb_plan()
-                if params_d.get("linear_solver") in ("bsb", "btd")
+                if params_d.get("linear_solver") in ("bsb", "btd", "pcr")
                 else None
             )
             return _iter_solve(

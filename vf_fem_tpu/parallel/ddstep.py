@@ -35,8 +35,11 @@ The reference cannot do any of this — it is explicitly single-process
 a mesh that outgrows one chip's HBM run the *production* direct-solver
 path across a TPU pod slice.
 
-Supported model: ``ExplicitFSIModel`` (the flagship path) on an
-RCM-renumbered mesh without shape (``umesh``) parameters.
+Supported models: ``ExplicitFSIModel``, ``ImplicitFSIModel`` (dp-lockstep
+Picard with a fixed-point IFT adjoint), and the two-way coupled FSAI
+model (``load_fsai_model``) — every transient coupling family — on an
+RCM-renumbered mesh, 2D or extruded 3D.  Shape (``umesh``) parameters
+are currently excluded (see ``plan_dd``).
 
 **DP x TP**: constructed with ``dp_axis=...`` on a 2D device mesh, the
 whole sharded program is vmapped over a local batch of variants
@@ -63,7 +66,12 @@ except ImportError:  # older jax
 
 from ..equations import newmark
 from ..solvers.btd import _btd_from_bsb
-from ..solvers.newton import newton_solve, SolveInfo
+from ..solvers.newton import (
+    newton_solve,
+    sanitize_err,
+    sanitize_iterate,
+    SolveInfo,
+)
 from ..models.transient import _params_key
 from . import spike_shard as ss
 
@@ -574,6 +582,10 @@ class DDIntegrator:
                 jnp.finfo(e0.dtype).max, e0.dtype
             ) * 0.125
 
+        def bigval_of(e0):
+            # python-float twin of big_like for nan_to_num sentinels
+            return float(jnp.finfo(e0.dtype).max) * 0.125
+
         # ---- per-element closures (mirror SolidModel.jac_u_blocks) ------
         def cell_fn(dt):
             def f(u1_e, Xe, s0_e, local):
@@ -943,9 +955,11 @@ class DDIntegrator:
             def body_masked(carry):
                 lam, r, rn, rn_prev, lam_b, rn_b, k = carry
                 act = own_active(carry)  # masked commit (dp lockstep)
-                lam_new = lam + Mt(r)
-                r_new = u1_bar - JT(lam_new)
-                rn_new = pnorm(r_new)
+                # sanitize uncommitted iterates BEFORE the selects (TPU
+                # fused-select rewrite: 0 * NaN = NaN)
+                lam_new = sanitize_iterate(lam + Mt(r))
+                r_new = sanitize_iterate(u1_bar - JT(lam_new))
+                rn_new = sanitize_err(pnorm(r_new), bigval_of(rn))
                 better = jnp.logical_and(act, rn_new < rn_b)
                 lam_b = jnp.where(better, lam_new, lam_b)
                 rn_b = jnp.where(better, rn_new, rn_b)
@@ -1112,11 +1126,14 @@ class DDIntegrator:
                 # masked commit: a converged dp row keeps iterating for
                 # collective lockstep without moving its state
                 act = own_active(carry)
-                x_new = picard(x)
+                # sanitized BEFORE the selects (TPU fused-select rewrite)
+                x_new = tuple(sanitize_iterate(xn) for xn in picard(x))
                 x2 = tuple(
                     jnp.where(act, xn, xo) for xn, xo in zip(x_new, x)
                 )
-                err_new = _coupled_delta(x_new, x)
+                err_new = sanitize_err(
+                    _coupled_delta(x_new, x), bigval_of(err)
+                )
                 return (
                     x2,
                     jnp.where(act, err_new, err),
@@ -1197,11 +1214,14 @@ class DDIntegrator:
             def body_masked(carry):
                 lam, inc, inc_prev, k = carry
                 act = own_active(carry)  # masked commit (dp lockstep)
-                lam_new = next_lam(lam)
+                # sanitized BEFORE the selects (TPU fused-select rewrite)
+                lam_new = tmap(sanitize_iterate, next_lam(lam))
                 lam2 = tmap(
                     lambda a, b: jnp.where(act, a, b), lam_new, lam
                 )
-                inc_new = _coupled_delta(lam_new, lam)
+                inc_new = sanitize_err(
+                    _coupled_delta(lam_new, lam), bigval_of(inc)
+                )
                 return (
                     lam2,
                     jnp.where(act, inc_new, inc),

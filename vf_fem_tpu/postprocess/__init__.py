@@ -1,2 +1,9 @@
 from . import base, fluid, solid
-from .base import BaseStateMeasure, TimeSeries, TimeSeriesStats
+from .base import (
+    BaseDerivedStateHistoryMeasure,
+    BaseDerivedStateMeasure,
+    BaseStateHistoryMeasure,
+    BaseStateMeasure,
+    TimeSeries,
+    TimeSeriesStats,
+)

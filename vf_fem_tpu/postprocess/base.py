@@ -49,7 +49,44 @@ class BaseStateMeasure:
         return jax.tree_util.tree_map(np.asarray, out)
 
 
-class TimeSeries:
+class BaseDerivedStateMeasure(BaseStateMeasure):
+    """Extension point: a measure derived from another instant measure
+    (reference: ``postprocess/base.py:68-86``).
+
+    Subclasses implement ``assem_pure`` in terms of ``self.func``'s
+    ``assem_pure`` — when they do, the derived measure batches under
+    ``TimeSeries`` exactly like a primitive one."""
+
+    def __init__(self, func: BaseStateMeasure):
+        super().__init__(func.model)
+        self.func = func
+
+
+class BaseStateHistoryMeasure:
+    """Extension point: a measure of a whole state *history* (statefile)
+    (reference: ``postprocess/base.py:89-110``)."""
+
+    def __init__(self, model, **kwargs):
+        self.model = model
+        self.kwargs = kwargs
+
+    def __call__(self, f, **kwargs):
+        return self.assem(f, **kwargs)
+
+    def assem(self, f, **kwargs):
+        raise NotImplementedError
+
+
+class BaseDerivedStateHistoryMeasure(BaseStateHistoryMeasure):
+    """History measure derived from an instant measure
+    (reference: ``postprocess/base.py:113-135``)."""
+
+    def __init__(self, func: BaseStateMeasure):
+        super().__init__(func.model)
+        self.func = func
+
+
+class TimeSeries(BaseDerivedStateHistoryMeasure):
     """Evaluate a measure at every stored state
     (reference: ``postprocess/base.py:138-175``).
 
@@ -59,11 +96,11 @@ class TimeSeries:
     """
 
     def __init__(self, measure: BaseStateMeasure):
+        super().__init__(measure)
         self.measure = measure
 
-    @property
-    def model(self):
-        return self.measure.model
+    def assem(self, f, ns: Optional[range] = None):
+        return self(f, ns=ns)
 
     def _batched(self, f, ns):
         import jax
@@ -128,11 +165,18 @@ class TimeSeries:
         return np.array(out)
 
 
-class TimeSeriesStats:
+class TimeSeriesStats(BaseDerivedStateHistoryMeasure):
     """Statistics of a time series (reference: ``postprocess/base.py:178-207``)."""
 
     def __init__(self, measure: BaseStateMeasure):
+        super().__init__(measure)
         self.series = TimeSeries(measure)
+
+    def assem(self, f, **kwargs):
+        return self.mean(f, **kwargs)
+
+    def std(self, f, **kwargs):
+        return np.std(self.series(f, **kwargs), axis=0)
 
     def mean(self, f, **kwargs):
         return np.mean(self.series(f, **kwargs), axis=0)

@@ -28,6 +28,29 @@ class SolveInfo(NamedTuple):
     rel_err: jnp.ndarray
 
 
+def sanitize_iterate(x):
+    """Zero non-finite entries of an uncommitted masked iterate.
+
+    Masked lockstep bodies route uncommitted iterates through
+    ``jnp.where``; TPU's fused-select rewrite can evaluate the select
+    arithmetically (``0 * NaN = NaN`` — CLAUDE.md double-where rule), so
+    a non-finite uncommitted iterate must never reach the select.  For
+    finite iterates this is the identity, which preserves the
+    masked-body == plain-body iterate equivalence."""
+    return jnp.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0)
+
+
+def sanitize_err(err, bigval: float):
+    """Map a non-finite masked error norm to a finite 'big' sentinel.
+
+    ``nan_to_num`` (not ``jnp.where(isfinite(...), ...)``) so the NaN
+    never appears in a select branch; ``bigval`` trips the stagnation
+    stop on the next own-active evaluation, so a row whose iterate went
+    non-finite masks itself off exactly as a NaN error norm would have
+    (NaN comparisons are all-False)."""
+    return jnp.nan_to_num(err, nan=bigval, posinf=bigval, neginf=bigval)
+
+
 def newton_solve(
     x0: jnp.ndarray,
     assem_res: Callable[[jnp.ndarray], jnp.ndarray],
@@ -105,9 +128,8 @@ def newton_solve(
     # branches in the masked body, and TPU's fused select can be
     # rewritten arithmetically (0 * inf = NaN; CLAUDE.md double-where
     # rule), which would silently stop every loop after one iteration.
-    big = 0.0 * err0 + jnp.asarray(
-        jnp.finfo(err0.dtype).max, err0.dtype
-    ) * 0.125
+    bigval = float(jnp.finfo(err0.dtype).max) * 0.125
+    big = 0.0 * err0 + jnp.asarray(bigval, err0.dtype)
 
     def own_active(carry):
         x, res, err, err_prev, x_best, err_best, k = carry
@@ -142,9 +164,11 @@ def newton_solve(
         # are masked so the returned state is its own stopping point
         act = own_active(carry)
         dx = solve_jac(x, res)
-        x_new = x - dx
-        res_new = assem_res(x_new)
-        err_new = norm_fn(res_new)
+        # sanitize BEFORE the selects: a row iterating only for lockstep
+        # (act=False) must not route NaN through jnp.where
+        x_new = sanitize_iterate(x - dx)
+        res_new = sanitize_iterate(assem_res(x_new))
+        err_new = sanitize_err(norm_fn(res_new), bigval)
         better = jnp.logical_and(act, err_new < err_best)
         x_best = jnp.where(better, x_new, x_best)
         err_best = jnp.where(better, err_new, err_best)

@@ -87,6 +87,15 @@ def _mixed_einsum(subs, A, x):
     cast back to the vector dtype.  The single site for the solver
     family's precision policy."""
     if A.dtype != x.dtype or A.dtype == jnp.bfloat16:
+        # Factors are never wider than the vectors in this family
+        # (bf16/f32 factors under f32/f64 vectors); a wider-factor call
+        # would silently lose the extra factor precision to the f32
+        # accumulation below — refuse it rather than mis-advertise.
+        assert jnp.finfo(A.dtype).bits <= jnp.finfo(x.dtype).bits, (
+            f"factor dtype {A.dtype} wider than vector dtype {x.dtype}:"
+            " the mixed product accumulates in f32 and would drop the"
+            " extra factor precision"
+        )
         out = jnp.einsum(
             subs, A, x.astype(A.dtype),
             preferred_element_type=jnp.float32,

@@ -100,6 +100,21 @@ def line_search(
     return filepath
 
 
+def functional_on_line_search(hs, functional, model, filepath):
+    """Evaluate ``functional`` on every stored line-search run
+    (reference: ``utils.py:91-98``).
+
+    ``filepath`` is a file produced by :func:`line_search` /
+    :func:`line_search_p`: run ``n`` lives under group ``f'{n}'``.
+    Returns ``np.array([functional(f_0), functional(f_1), ...])``.
+    """
+    values = []
+    for n, _h in enumerate(hs):
+        with sf.StateFile(model, filepath, group=f"{n}", mode="r") as f:
+            values.append(functional(f))
+    return np.array(values)
+
+
 def line_search_p(
     hs, model, p, dp, ini_state=None, controls=None, times=None,
     filepath: str = "temp.h5",
