@@ -167,6 +167,17 @@ def main():
     print(f"spike-vs-btd trajectory max|du| = {du:.3e};"
           f" speedup {tps_sp / tps_b16:.2f}x")
 
+    # PCR: log-depth solve — ~2 log2(n_sup) batched MXU matmuls instead
+    # of the 2 n_sup-step serial Thomas scans (round-4: the solve was
+    # ~20x its streaming floor at 23.7k dofs, pure scan latency)
+    pcr_tol = dict(btd16_tol, linear_solver="pcr")
+    tps_pcr, fin_pcr = run(
+        model, pcr_tol, args.steps, "pcr direct (log-depth, bf16)"
+    )
+    du = np.abs(np.asarray(fin_pcr["u"]) - np.asarray(fin_b16["u"])).max()
+    print(f"pcr-vs-btd trajectory max|du| = {du:.3e};"
+          f" speedup {tps_pcr / tps_b16:.2f}x")
+
     if ndof <= args.dense_limit:
         dense_tol = {"jacobian_refresh_steps": 8, "stagnation_ratio": 0.5}
         tps_d, fin_d = run(model, dense_tol, args.steps, "dense LU (stale)")

@@ -260,6 +260,22 @@ def main():
     t = timeit(solve, u, n=3)
     print(f"btd_solve:              {t*1e3:8.3f} ms")
 
+    # PCR: the log-depth solve (2*log2(n_sup)+1 batched MXU matmuls, no
+    # scan).  bf16 factors halve the ~6x-Thomas factor stream.
+    from vf_fem_tpu.solvers import pcr as pcr_mod
+
+    for sd in (None, "bfloat16"):
+        facP_fn = jax.jit(
+            lambda b: pcr_mod.pcr_factor(plan, b, store_dtype=sd)
+        )
+        t = timeit(facP_fn, blocks, n=3)
+        tag = "bf16" if sd else "f32 "
+        print(f"pcr_factor ({tag}):     {t*1e3:8.3f} ms")
+        fP = facP_fn(blocks)
+        solP = jax.jit(lambda r: pcr_mod.pcr_solve(plan, fP, r))
+        t = timeit(solP, u, n=3)
+        print(f"pcr_solve  ({tag}):     {t*1e3:8.3f} ms")
+
     # SPIKE-partitioned factorization: the scan shrinks from n_sup
     # sequential Bt-LU steps to n_sup/S batched ones (+ batched spike
     # solves) — the single-chip lever on the latency-bound btd_factor

