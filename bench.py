@@ -16,6 +16,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -527,6 +528,39 @@ def main():
             }
         except Exception as e:
             log(f"sweep leg skipped: {e!r}")
+        finally:
+            signal.alarm(0)
+
+        # DD (DOF-sharded stepping) leg: run in a SUBPROCESS because
+        # virtual host devices must be configured before backend init and
+        # this process is pinned to the TPU backend.  Clearly labeled
+        # virtual-8-CPU (compile/execute health + comm volume, not a
+        # parallel-speedup number).
+        signal.alarm(2400)
+        try:
+            import subprocess
+            import sys as _sys
+
+            script = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "benchmarks", "bench_dd.py",
+            )
+            env = dict(os.environ)
+            env.pop("JAX_PLATFORMS", None)
+            res = subprocess.run(
+                [_sys.executable, script],
+                capture_output=True, text=True, timeout=2300, env=env,
+            )
+            line = [
+                ln for ln in res.stdout.strip().splitlines()
+                if ln.startswith("{")
+            ][-1]
+            out["dd"] = json.loads(line)
+            log(f"dd leg (virtual 8-CPU): {out['dd']['steps_s_wall']}"
+                f" steps/s wall, traj rel err"
+                f" {out['dd']['traj_rel_err_vs_single_device']:.2e}")
+        except Exception as e:
+            log(f"dd leg skipped: {e!r}")
         finally:
             signal.alarm(0)
     print(json.dumps(out))

@@ -39,13 +39,13 @@ MESH = os.path.join(
 )
 
 
-def make_models(mesh):
+def make_models(mesh, zs=None):
     ymax = mesh.coords[:, 1].max()
     out = []
     for mt in ("transient", "dynamical"):
         m = load_fsi_model(
             mesh, slr.KelvinVoigt, flr.BernoulliSmoothMinSep,
-            model_type=mt,
+            model_type=mt, zs=zs,
         )
         p = m.prop
         p["emod"][:] = 5e4
@@ -69,10 +69,25 @@ def main():
                     default=[250.0, 500.0, 1000.0, 2000.0])
     ap.add_argument("--f-guess", type=float, default=120.0)
     ap.add_argument("--arnoldi-m", type=int, default=70)
+    ap.add_argument("--extrude", type=int, default=0, metavar="NZ",
+                    help="3D: extrude the M5_CB_GA3 fold with NZ z-planes")
+    ap.add_argument("--h", type=float, default=0.1,
+                    help="element size for the 3D fold")
     args = ap.parse_args()
 
-    mesh = load_gmsh(MESH)
-    tm, dm = make_models(mesh)
+    if args.extrude:
+        from vf_fem_tpu.mesh import m5_mesh
+        from vf_fem_tpu.mesh.extrude import extrude_mesh
+        from vf_fem_tpu.mesh.reorder import rcm_mesh
+
+        zs = np.linspace(0.0, 1.5, args.extrude)
+        mesh = rcm_mesh(
+            extrude_mesh(m5_mesh("M5_CB_GA3", h=args.h, smooth_iters=5), zs)
+        )
+        tm, dm = make_models(mesh, zs=zs)
+    else:
+        mesh = load_gmsh(MESH)
+        tm, dm = make_models(mesh)
     print(f"mesh: {mesh.num_vertices} verts, {tm.solid.ndof} dofs")
 
     static_opts = {"linear_solver": "btd"}

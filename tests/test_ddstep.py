@@ -1054,3 +1054,29 @@ def test_dd_integrate_shape_matches_single_device():
         np.asarray(g_dd["umesh"]), np.asarray(g_rf["umesh"]),
         rtol=1e-4, atol=1e-7 * g_scale,
     )
+
+
+def test_plan_dd_actionable_errors():
+    """plan_dd failure modes surface as actionable ValueErrors, not bare
+    asserts (round-4 review item)."""
+    from vf_fem_tpu.mesh.reorder import permute_mesh
+    from vf_fem_tpu.parallel.ddstep import plan_dd
+
+    # a scrambled (non-bandwidth-ordered) mesh: the plan must fail with
+    # a message telling the user to RCM-renumber, not a bare assert
+    base = vocal_fold_mesh(40, 20)
+    rng = np.random.default_rng(0)
+    scrambled = permute_mesh(base, rng.permutation(base.num_vertices))
+    ymax = scrambled.coords[:, 1].max()
+    model2 = load_fsi_model(
+        scrambled, slr.KelvinVoigt, flr.BernoulliSmoothMinSep,
+        coupling="explicit",
+    )
+    prop = model2.prop
+    prop["ymid"][:] = ymax + 0.01
+    model2.set_prop(prop)
+    # the scrambled bandwidth swallows the whole mesh into one super-row:
+    # the plan degenerates to an effectively-serial partition and must
+    # SAY so (empty slabs), pointing at rcm_mesh
+    with pytest.warns(RuntimeWarning, match="RCM-renumber"):
+        plan_dd(model2, 4)

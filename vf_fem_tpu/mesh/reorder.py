@@ -63,7 +63,14 @@ def rcm_mesh(mesh: Mesh, sort_cells: bool = True) -> Mesh:
     Jacobian (``solvers.bsb``).  This permutes the (user-visible) cell
     ids, which is why renumbering is opt-in at load time.
     """
-    perm = rcm_permutation(mesh)
+    return permute_mesh(mesh, rcm_permutation(mesh), sort_cells=sort_cells)
+
+
+def permute_mesh(mesh: Mesh, perm: np.ndarray, sort_cells: bool = True) -> Mesh:
+    """Renumber vertices by ``perm`` (new id i <- old id perm[i]),
+    transferring all markers/subdomains; the general form of
+    :func:`rcm_mesh` for custom orderings."""
+    perm = np.asarray(perm)
     inv = np.argsort(perm)
 
     coords2 = np.asarray(mesh.coords)[perm]

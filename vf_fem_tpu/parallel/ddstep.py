@@ -151,8 +151,20 @@ def plan_dd(model, n_shards: int) -> DDPlan:
     ndof, nblk = solid.ndof, bsbp.nblk
     S = int(n_shards)
     n_sup = -(-nblk // h)
-    m = -(-n_sup // S)
-    assert m >= 1
+    m = -(-n_sup // S)  # >= 1; slabs beyond n_sup are fully-masked pads
+    if n_sup < S:
+        import warnings
+
+        warnings.warn(
+            f"plan_dd: the mesh bandwidth (half-band {h} blocks,"
+            f" Bt={h * b}) leaves only {n_sup} super-rows for {S}"
+            f" shards —"
+            f" {S - n_sup} slabs will be EMPTY and the partition is"
+            " effectively serial.  RCM-renumber the mesh"
+            " (mesh.reorder.rcm_mesh / loader reorder='rcm') for a"
+            " balanced bandwidth-ordered partition",
+            RuntimeWarning,
+        )
     nblk_loc = m * h
     ndof_loc = nblk_loc * b
     ndof_pad = S * ndof_loc
@@ -175,10 +187,15 @@ def plan_dd(model, n_shards: int) -> DDPlan:
     def check_and_assign(darr):
         s = darr.min(axis=1) // ndof_loc
         spill = darr.max(axis=1) - s * ndof_loc
-        assert (spill < ndof_loc + Bt).all(), (
-            "element support exceeds one halo width; mesh bandwidth"
-            " inconsistent with the slab size (reduce n_shards)"
-        )
+        if not (spill < ndof_loc + Bt).all():
+            raise ValueError(
+                "plan_dd: an element's dof support exceeds one halo"
+                f" width (max spill {int(spill.max())} >= slab"
+                f" {ndof_loc} + halo {Bt}).  The mesh bandwidth is too"
+                " large for this slab size: RCM-renumber the mesh"
+                " (mesh.reorder.rcm_mesh / loader reorder='rcm') or"
+                " reduce n_shards"
+            )
         return s
 
     sc = check_and_assign(cdofs) if nc else np.zeros(0, int)
