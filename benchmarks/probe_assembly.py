@@ -255,10 +255,14 @@ def main():
     t = timeit(fac, blocks, n=3)
     print(f"btd_factor:             {t*1e3:8.3f} ms")
 
-    factors = fac(blocks)
-    solve = jax.jit(lambda r: btd_mod.btd_solve(plan, factors, r))
-    t = timeit(solve, u, n=3)
-    print(f"btd_solve:              {t*1e3:8.3f} ms")
+    # factors are jit ARGUMENTS (closed-over device arrays embed as HLO
+    # constants — the remote compile service rejects >100MB programs)
+    for sd in (None, "bfloat16"):
+        tag = "bf16" if sd else "f32 "
+        fT = btd_mod.btd_factor(plan, blocks, store_dtype=sd)
+        solve = jax.jit(lambda f, r: btd_mod.btd_solve(plan, f, r))
+        t = timeit(solve, fT, u, n=3)
+        print(f"btd_solve  ({tag}):     {t*1e3:8.3f} ms")
 
     # PCR: the log-depth solve (2*log2(n_sup)+1 batched MXU matmuls, no
     # scan).  bf16 factors halve the ~6x-Thomas factor stream.
@@ -266,14 +270,14 @@ def main():
 
     for sd in (None, "bfloat16"):
         facP_fn = jax.jit(
-            lambda b: pcr_mod.pcr_factor(plan, b, store_dtype=sd)
+            lambda b, _sd=sd: pcr_mod.pcr_factor(plan, b, store_dtype=_sd)
         )
         t = timeit(facP_fn, blocks, n=3)
         tag = "bf16" if sd else "f32 "
         print(f"pcr_factor ({tag}):     {t*1e3:8.3f} ms")
         fP = facP_fn(blocks)
-        solP = jax.jit(lambda r: pcr_mod.pcr_solve(plan, fP, r))
-        t = timeit(solP, u, n=3)
+        solP = jax.jit(lambda f, r: pcr_mod.pcr_solve(plan, f, r))
+        t = timeit(solP, fP, u, n=3)
         print(f"pcr_solve  ({tag}):     {t*1e3:8.3f} ms")
 
     # SPIKE-partitioned factorization: the scan shrinks from n_sup

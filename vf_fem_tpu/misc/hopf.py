@@ -302,10 +302,8 @@ def linear_stability_banded(
         resid = h_last * np.abs(Y[-1, :])
         keep = np.abs(theta) > 1e-12
         theta, Y, resid = theta[keep], Y[:, keep], resid[keep]
-        rel_resid = resid / np.abs(theta)
-        conv = rel_resid < 1e-6
-        theta, rel_resid = theta[conv], rel_resid[conv]
-        lam = sigma - 1.0 / theta
+        conv = (resid / np.abs(theta)) < 1e-6
+        lam = sigma - 1.0 / theta[conv]
         order = np.argsort(-lam.real)
         return lam[order][:n_modes], eq_state
 
