@@ -364,8 +364,17 @@ def main():
                 "assembly": "banded",
                 "linear_solver": "btd",
                 "btd_store_dtype": "bfloat16",
-                "jacobian_refresh_steps": 32,
+                # round-4 same-session config sweep (probe_large_config):
+                # refresh-96 + tail-free fixed-3 chord = 480.8 steps/s
+                # device-slope vs 349.4 for the round-3 refresh-32
+                # certified config, at BETTER trajectory error (2.3e-7
+                # vs 4.6e-7 against the exact-Jacobian run — the gate
+                # below): the stale bf16 factors stay good for ~100
+                # steps and the trailing telemetry-only residual was
+                # ~1/4 of the step.
+                "jacobian_refresh_steps": 96,
                 "fixed_iterations": 3,
+                "fixed_tail_residual": False,
                 "stagnation_ratio": 0.5,
             }
             tps_l, ct_l, fin_l, infos_l, flops_l, gbs_l, tpsd_l = run_device(

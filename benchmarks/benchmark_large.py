@@ -156,6 +156,21 @@ def main():
     print(f"bf16-vs-f32 trajectory max|du| = {du:.3e};"
           f" speedup {tps_b16 / tps_btd:.2f}x")
 
+    # round-4 production config (bench.py large leg): longer refresh
+    # window + tail-free fixed-3 chord (fixed_tail_residual=False skips
+    # the trailing telemetry-only residual, ~1/4 of the step) — measured
+    # 480.8 vs 349.4 steps/s device-slope at 23.7k dofs with BETTER
+    # trajectory error (2.3e-7 vs 4.6e-7; probe_large_config.py)
+    prod_tol = dict(
+        btd16_tol, jacobian_refresh_steps=96, fixed_tail_residual=False
+    )
+    tps_pr, fin_pr = run(
+        model, prod_tol, args.steps, "btd bf16 r96 tail-free (production)"
+    )
+    du = np.abs(np.asarray(fin_pr["u"]) - np.asarray(fin_b16["u"])).max()
+    print(f"prod-vs-btd16 trajectory max|du| = {du:.3e};"
+          f" speedup {tps_pr / tps_b16:.2f}x")
+
     # SPIKE-partitioned factorization: n_sup/S batched factor steps
     # instead of n_sup sequential ones (single-chip form of the
     # distributed solver; solve does ~1.5x the HBM traffic)
@@ -168,8 +183,9 @@ def main():
           f" speedup {tps_sp / tps_b16:.2f}x")
 
     # PCR: log-depth solve — ~2 log2(n_sup) batched MXU matmuls instead
-    # of the 2 n_sup-step serial Thomas scans (round-4: the solve was
-    # ~20x its streaming floor at 23.7k dofs, pure scan latency)
+    # of the 2 n_sup-step serial Thomas scans.  Measured round-4 (slope
+    # timing): LOSES to btd at 23.7k dofs (solve 0.57 vs 0.15 ms bf16,
+    # factor 117.6 vs 15.7 ms) — kept here so the record stays honest.
     pcr_tol = dict(btd16_tol, linear_solver="pcr")
     tps_pcr, fin_pcr = run(
         model, pcr_tol, args.steps, "pcr direct (log-depth, bf16)"

@@ -23,6 +23,13 @@ def main():
         help="sweep stiffness only (round-2 behavior); default sweeps"
         " per-variant geometry (umesh shape displacement) AND stiffness",
     )
+    parser.add_argument(
+        "--tail-free", action="store_true",
+        help="skip the trailing telemetry-only residual of the fixed-"
+        "iteration chord (fixed_tail_residual=False) — saves one vmapped"
+        " residual assembly per step; bit-identical to the certified"
+        " mode while the chord contracts (no best-iterate select)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -96,6 +103,8 @@ def main():
         # extra batch grid dimension
         "assembly": "plain",
     }
+    if args.tail_free:
+        tol["fixed_tail_residual"] = False
 
     def run_one(p):
         fin, traj, infos = forward.integrate_pure(

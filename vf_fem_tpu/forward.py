@@ -499,6 +499,14 @@ def certify_fixed_iterations(params: Optional[dict], step_info) -> int:
 
     Returns the number of uncertified steps (0 when the check passes or
     does not apply).
+
+    With ``fixed_tail_residual=False`` (the throughput lever that skips
+    the trailing telemetry-only residual assembly), the streamed
+    ``abs/rel_err`` report the PENULTIMATE iterate — an upper bound on
+    the final one in the chord-contraction regime — so this check
+    certifies a bound, not the final residual.  Gate such configs on
+    trajectory error against an exact-Jacobian run as well (bench.py's
+    large-mesh leg does).
     """
     params = dict(params or {})
     if not params.get("fixed_iterations"):

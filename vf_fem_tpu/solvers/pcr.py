@@ -15,9 +15,21 @@ With the elimination multipliers ``P, Q`` precomputed at factor time
 (once per Jacobian refresh window), a solve is just ``2 log2(n) + 1``
 *batched* (n, Bt, Bt) x (n, Bt) MXU matmuls — no scan at all.  The
 price is streaming ``(2 levels + 1)`` factor arrays instead of
-Thomas's 3: ~6x the HBM traffic, paid at full bandwidth instead of
-1/20 of it.  Crossover strongly favors PCR once the scan latency
-dominates (measured from ~10k dofs).
+Thomas's 3: ~6x the HBM traffic.
+
+**Measured outcome (round 4, TPU v5e, 23.7k dofs, fold-proof slope
+timing — ``benchmarks/probe_assembly.py``): PCR LOSES to block-Thomas
+and is kept as tested infrastructure, not the default.**  The round-3
+premise (btd_solve ~0.5 ms, ~20x its streaming floor) was
+dispatch-distorted; measured honestly the Thomas solve is 0.145 ms
+(bf16) / 0.181 ms (f32), while pcr_solve is 0.573 / 1.554 ms and
+pcr_factor is 117.6 ms vs btd_factor 15.7 ms.  PCR's 17 factor arrays
+(~104 MB bf16) would stream in ~145 us at the chip's 716 GB/s bound,
+but the (186, 128, 128) batched matmuls only reach ~25% of peak
+bandwidth, so the 6x traffic translates to ~4x slower solves — and the
+8 levels of 5 batched matmul/inverse passes make the factorization
+7.5x Thomas's scan.  Log-depth does not pay at this block geometry;
+``linear_solver='btd'`` remains the single-chip default.
 
 Like ``btd`` this is exact (a direct method), uses the same
 equilibrated super-block front-end (``btd.btd_superblocks``), supports
