@@ -560,11 +560,19 @@ def main():
                 [_sys.executable, script],
                 capture_output=True, text=True, timeout=2300, env=env,
             )
-            line = [
+            lines = [
                 ln for ln in res.stdout.strip().splitlines()
                 if ln.startswith("{")
-            ][-1]
-            out["dd"] = json.loads(line)
+            ]
+            if not lines:
+                # surface the subprocess's actual failure, not the
+                # stdout-parse IndexError it would otherwise raise
+                tail = (res.stderr or "").strip().splitlines()[-8:]
+                raise RuntimeError(
+                    f"bench_dd.py rc={res.returncode}, no JSON on"
+                    " stdout; stderr tail: " + " | ".join(tail)
+                )
+            out["dd"] = json.loads(lines[-1])
             log(f"dd leg (virtual 8-CPU): {out['dd']['steps_s_wall']}"
                 f" steps/s wall, traj rel err"
                 f" {out['dd']['traj_rel_err_vs_single_device']:.2e}")

@@ -330,9 +330,11 @@ def test_traction_shape_large_mesh_23k():
     assert np.all(np.isfinite(umesh)) and np.linalg.norm(umesh) > 0
 
     # independent solve certificate: K umesh = T t via the banded matvec
+    # (the band array is rebuilt on demand — not retained on the
+    # transform, which keeps only the Thomas factors)
     Tt = np.asarray(t._T_mv(np.asarray(x["tmesh"])))
     r = np.asarray(
-        bsb.bsb_matvec(t._plan, t._K_blocks, umesh)
+        bsb.bsb_matvec(t._plan, np.asarray(t._assemble_K_blocks()), umesh)
     ) - Tt
     rel = np.linalg.norm(r) / np.linalg.norm(Tt)
     assert rel < 1e-10, f"banded solve residual {rel}"

@@ -13,6 +13,47 @@ from vf_fem_tpu.misc.hopf import growth_rate_and_frequency, linear_stability
 from vf_fem_tpu.residuals import fluid as flr, solid as slr
 
 
+def test_ritz_filter_diagnostics():
+    """The shift-invert Ritz filter must (a) error actionably when no
+    pair converged, (b) warn when only a partial set converged, and
+    (c) pass a fully-converged set through, sorted by descending
+    Re(lambda) after the ``lam = sigma - 1/theta`` map (round-4
+    review: spurious huge eigenvalues from unconverged theta ~ 0)."""
+    from vf_fem_tpu.misc.hopf import _filter_ritz
+
+    sigma = 1j * 2 * np.pi * 150.0
+    theta = np.array([0.5 + 0.1j, -0.2 + 0.3j, 1e-14 + 0j])
+    Y = np.eye(3, dtype=complex)
+
+    # (a) nothing converged -> RuntimeError naming the best residual
+    with pytest.raises(RuntimeError, match="no Ritz pair converged"):
+        _filter_ritz(theta, Y, np.array([1.0, 1.0, 1.0]), 4, 30, sigma)
+    # ... including the all-theta-filtered edge (empty after keep mask)
+    with pytest.raises(RuntimeError, match="all Ritz values ~ 0"):
+        _filter_ritz(
+            np.array([1e-14 + 0j]), Y[:, :1], np.array([1.0]), 4, 30, sigma
+        )
+
+    # (b) one of four requested converged -> RuntimeWarning, result kept
+    with pytest.warns(RuntimeWarning, match="only 1 of the requested 4"):
+        lam = _filter_ritz(
+            theta, Y, np.array([1e-9, 1.0, 1.0]), 4, 30, sigma
+        )
+    np.testing.assert_allclose(lam, sigma - 1.0 / theta[0], rtol=1e-12)
+
+    # (c) all converged -> no warning, sorted by descending real part
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        lam = _filter_ritz(
+            theta, Y, np.array([1e-9, 1e-9, 0.0]), 2, 30, sigma
+        )
+    expect = sigma - 1.0 / theta[:2]
+    expect = expect[np.argsort(-expect.real)]
+    np.testing.assert_allclose(lam, expect, rtol=1e-12)
+
+
 @pytest.mark.slow
 def test_phonation_onset():
     mesh = vocal_fold_mesh(8, 4)

@@ -112,3 +112,38 @@ def test_newton_masked_body_matches_plain():
     np.testing.assert_array_equal(
         np.asarray(info_plain.abs_err), np.asarray(info_masked.abs_err)
     )
+
+
+def test_newton_masked_body_nan_iterate_not_committed_as_best():
+    """An ACTIVE lockstep row whose update goes non-finite must score
+    bigval (norm of the RAW residual) and mask itself off — NOT have its
+    NaN entries zero-filled into a spuriously small norm and committed
+    as the best iterate (round-4 review finding on body_masked)."""
+    import jax
+    from vf_fem_tpu.solvers.newton import newton_solve
+
+    def assem_res(x):
+        # residual goes NaN as soon as the iterate leaves the unit ball
+        # (mimics a contact/area kernel blowing up off-manifold); at the
+        # start point it is finite and LARGE so the solver wants to move
+        bad = jnp.sum(x**2) > 1.0
+        r = x - jnp.asarray([10.0, 10.0])
+        return jnp.where(bad, jnp.nan, r)
+
+    def solve_jac(x, r):
+        return r  # identity Jacobian: first update jumps to (10, 10)
+
+    x0 = jnp.asarray([0.1, 0.0])
+    params = {"absolute_tolerance": 1e-12, "relative_tolerance": 1e-14}
+    x, info = jax.jit(
+        lambda x: newton_solve(
+            x, assem_res, solve_jac, params, uniform_pred=lambda p: p
+        )
+    )(x0)
+    # the returned best iterate is the (finite) start point, and the
+    # reported error is its TRUE residual norm — not a zero-filled one
+    assert np.all(np.isfinite(np.asarray(x)))
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(x0))
+    expected = float(np.linalg.norm(np.asarray(assem_res(x0))))
+    np.testing.assert_allclose(float(info.abs_err), expected, rtol=1e-12)
+    assert int(info.num_iter) == 1  # one wasted (masked-off) iteration

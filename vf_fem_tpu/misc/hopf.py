@@ -131,6 +131,48 @@ def linear_stability(
     return w[order][:n_modes], eq_state
 
 
+def _filter_ritz(theta, Y, resid, n_modes, arnoldi_m, sigma):
+    """Convergence-filter shift-invert Ritz values; map back to eigenvalues.
+
+    UNCONVERGED Ritz values (approximating the ``theta ~ 0`` cluster from
+    strongly-damped / algebraic modes) map through ``lam = sigma - 1/theta``
+    to huge spurious eigenvalues — sorting by ``Re(lam)`` without this
+    filter surfaces exactly those.  Raises when NOTHING converged (the
+    returned spectrum would be pure noise); warns when fewer than the
+    requested ``n_modes`` converged (the result is valid but partial).
+    """
+    keep = np.abs(theta) > 1e-12
+    theta, Y, resid = theta[keep], Y[:, keep], resid[keep]
+    conv = (resid / np.abs(theta)) < 1e-6
+    n_conv = int(conv.sum())
+    if n_conv == 0:
+        best = (
+            f"{float((resid / np.abs(theta)).min()):.1e}"
+            if theta.size else "n/a (all Ritz values ~ 0)"
+        )
+        raise RuntimeError(
+            "linear_stability(banded): no Ritz pair converged"
+            f" (best rel residual {best}"
+            f" over {theta.size} values, arnoldi_m={arnoldi_m},"
+            f" sigma={sigma}) — raise arnoldi_m or move the shift"
+            " closer to the expected mode"
+        )
+    if n_conv < n_modes:
+        import warnings
+
+        warnings.warn(
+            f"linear_stability(banded): only {n_conv} of the"
+            f" requested {n_modes} modes converged"
+            f" (arnoldi_m={arnoldi_m}); the returned spectrum is"
+            " the least-damped CONVERGED modes — raise arnoldi_m"
+            " for the full set",
+            RuntimeWarning,
+        )
+    lam = sigma - 1.0 / theta[conv]
+    order = np.argsort(-lam.real)
+    return lam[order][:n_modes]
+
+
 def linear_stability_banded(
     transient_model,
     dyn_model,
@@ -293,19 +335,11 @@ def linear_stability_banded(
         theta, Y = np.linalg.eig(H[:m, :m])
         # Ritz residuals: |h_{m+1,m} * y_m| bounds the eigen-residual of
         # the shift-invert operator; relative to |theta| it bounds the
-        # backward error of the Ritz pair.  UNCONVERGED Ritz values
-        # (approximating the theta ~ 0 cluster from strongly-damped /
-        # algebraic modes) map through lam = sigma - 1/theta to huge
-        # spurious eigenvalues — sorting by Re(lam) without this filter
-        # surfaces exactly those.
+        # backward error of the Ritz pair.
         h_last = np.abs(H[m, m - 1]) if m <= H.shape[0] - 1 else 0.0
         resid = h_last * np.abs(Y[-1, :])
-        keep = np.abs(theta) > 1e-12
-        theta, Y, resid = theta[keep], Y[:, keep], resid[keep]
-        conv = (resid / np.abs(theta)) < 1e-6
-        lam = sigma - 1.0 / theta[conv]
-        order = np.argsort(-lam.real)
-        return lam[order][:n_modes], eq_state
+        lam = _filter_ritz(theta, Y, resid, n_modes, arnoldi_m, sigma)
+        return lam, eq_state
 
 
 def growth_rate_and_frequency(eigvals: np.ndarray):

@@ -1012,11 +1012,15 @@ class DDIntegrator:
             def body_masked(carry):
                 lam, r, rn, rn_prev, lam_b, rn_b, k = carry
                 act = own_active(carry)  # masked commit (dp lockstep)
-                # sanitize uncommitted iterates BEFORE the selects (TPU
-                # fused-select rewrite: 0 * NaN = NaN)
-                lam_new = sanitize_iterate(lam + Mt(r))
-                r_new = sanitize_iterate(u1_bar - JT(lam_new))
-                rn_new = sanitize_err(pnorm(r_new), bigval_of(rn))
+                lam_raw = lam + Mt(r)
+                r_raw = u1_bar - JT(lam_raw)
+                # norm from the RAW iterate's residual so a non-finite
+                # iterate scores bigval (no best-commit; the row masks
+                # off next cond) — entry-sanitize only what enters the
+                # jnp.where carries (TPU fused-select: 0 * NaN = NaN)
+                rn_new = sanitize_err(pnorm(r_raw), bigval_of(rn))
+                lam_new = sanitize_iterate(lam_raw)
+                r_new = sanitize_iterate(r_raw)
                 better = jnp.logical_and(act, rn_new < rn_b)
                 lam_b = jnp.where(better, lam_new, lam_b)
                 rn_b = jnp.where(better, rn_new, rn_b)

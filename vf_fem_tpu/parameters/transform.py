@@ -374,19 +374,25 @@ class TractionShape(TransformFromModel):
             return cell_elem(Xe, loc)
 
         cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
+
+        def assemble_K_blocks():
             nv = cells.shape[1]
             nld = nv * dim
             # linear problem: element stiffness evaluated at u1 = 0
             Jc = jax.vmap(jax.jacfwd(cell_fn), in_axes=(0, 0, axes_c))(
                 jnp.zeros((cells.shape[0], nv, dim)), X[cells], local_c
             ).reshape(-1, nld, nld)
-            blocks = bsb_mod.bsb_fill(plan, [Jc])
-            factors = btd_mod.btd_factor(plan, blocks)
+            return bsb_mod.bsb_fill(plan, [Jc])
+
+        with jax.default_device(cpu):
+            factors = btd_mod.btd_factor(plan, assemble_K_blocks())
             self._factors = jax.tree_util.tree_map(np.asarray, factors)
-            # kept for solve certificates (K umesh = T t residual checks)
             self._plan = plan
-            self._K_blocks = np.asarray(blocks)
+            # for solve certificates (K umesh = T t residual checks):
+            # recomputed on demand — the band array is ~nblk*nb*128^2
+            # values (100+ MB at 23.7k dofs), too big to keep alive for
+            # the transform's lifetime when only the factors are used
+            self._assemble_K_blocks = assemble_K_blocks
 
         bc_mask = np.ones(ndof)
         bc_mask[bc] = 0.0

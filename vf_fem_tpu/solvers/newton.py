@@ -196,11 +196,19 @@ def newton_solve(
         # are masked so the returned state is its own stopping point
         act = own_active(carry)
         dx = solve_jac(x, res)
-        # sanitize BEFORE the selects: a row iterating only for lockstep
-        # (act=False) must not route NaN through jnp.where
-        x_new = sanitize_iterate(x - dx)
-        res_new = sanitize_iterate(assem_res(x_new))
-        err_new = sanitize_err(norm_fn(res_new), bigval)
+        x_raw = x - dx
+        res_raw = assem_res(x_raw)
+        # the error norm comes from the RAW residual: a row whose
+        # iterate/residual went non-finite scores bigval (no best-commit
+        # this iteration; its next own_active sees bigval and the row
+        # masks itself off) — norming the entry-sanitized residual would
+        # zero-fill the NaNs into a spuriously SMALL norm and commit a
+        # corrupt iterate as best.  Only the CARRIED arrays are
+        # entry-sanitized, because they route through the jnp.where
+        # selects (TPU fused-select rewrite: 0 * NaN = NaN)
+        err_new = sanitize_err(norm_fn(res_raw), bigval)
+        x_new = sanitize_iterate(x_raw)
+        res_new = sanitize_iterate(res_raw)
         better = jnp.logical_and(act, err_new < err_best)
         x_best = jnp.where(better, x_new, x_best)
         err_best = jnp.where(better, err_new, err_best)

@@ -69,26 +69,18 @@ def _n_levels(n_sup: int) -> int:
 
 
 def _bmv(A, x):
-    """Batched (n,Bt,Bt)@(n,Bt) in the factor dtype, f32 accumulation,
-    result cast back to the vector dtype (same policy as ``btd._mv``)."""
-    if A.dtype != x.dtype or A.dtype == jnp.bfloat16:
-        out = jnp.einsum(
-            "nij,nj->ni", A, x.astype(A.dtype),
-            preferred_element_type=jnp.float32,
-        )
-        return out.astype(x.dtype)
-    return jnp.einsum("nij,nj->ni", A, x)
+    """Batched (n,Bt,Bt)@(n,Bt) via the solver family's single
+    mixed-precision policy site (``spike._mixed_einsum``)."""
+    from .spike import _mixed_einsum
+
+    return _mixed_einsum("nij,nj->ni", A, x)
 
 
 def _bmv_t(A, x):
-    """Batched transposed matvec A_i^T x_i with the same dtype policy."""
-    if A.dtype != x.dtype or A.dtype == jnp.bfloat16:
-        out = jnp.einsum(
-            "nji,nj->ni", A, x.astype(A.dtype),
-            preferred_element_type=jnp.float32,
-        )
-        return out.astype(x.dtype)
-    return jnp.einsum("nji,nj->ni", A, x)
+    """Batched transposed matvec A_i^T x_i, same policy site."""
+    from .spike import _mixed_einsum
+
+    return _mixed_einsum("nji,nj->ni", A, x)
 
 
 def _shift_dn(a, s):
