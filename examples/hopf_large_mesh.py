@@ -12,7 +12,14 @@ brackets the onset pressure where Re(lambda) crosses zero.
 Reference analog: the sparse PETSc block Jacobians the reference builds
 for external Hopf consumers (``src/femvf/models/dynamical.py:239-298``).
 
+Round 4: ``--device tpu`` runs the complex banded factorization and
+every fused shift-invert action on the accelerator (f32 factors — the
+TPU has no f64 LU); the returned eigenpairs carry a host-side residual
+certificate so the f32 run is self-validating.  CPU-minutes per onset
+point become device-seconds.
+
 Run: python examples/hopf_large_mesh.py [--h 0.06] [--psub 400 800 1600]
+     [--device tpu]
 """
 
 import argparse
@@ -24,9 +31,20 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# device selection must precede the jax import chain: f64 is only
+# meaningful on CPU (the TPU path runs the package's f32 config)
+_DEVICE = "cpu"
+if "--device" in sys.argv:
+    _DEVICE = sys.argv[sys.argv.index("--device") + 1]
+if _DEVICE == "cpu":
+    os.environ.setdefault("VF_FEM_TPU_X64", "1")
+else:
+    os.environ["VF_FEM_TPU_X64"] = "0"
+
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if _DEVICE == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
 from vf_fem_tpu.load import load_fsi_model
@@ -73,6 +91,10 @@ def main():
                     help="3D: extrude the M5_CB_GA3 fold with NZ z-planes")
     ap.add_argument("--h", type=float, default=0.1,
                     help="element size for the 3D fold")
+    ap.add_argument("--device", type=str, default="cpu",
+                    choices=("cpu", "tpu"),
+                    help="where the factorization + shift-invert"
+                         " actions run (tpu: f32 factors + certificate)")
     args = ap.parse_args()
 
     if args.extrude:
@@ -97,17 +119,20 @@ def main():
         c["psub"][:] = psub
         c["psup"][:] = 0.0
         t0 = time.perf_counter()
-        eigs, eq = linear_stability(
+        eigs, eq, info = linear_stability(
             tm, dm, c, tm.prop, solver="banded",
             sigma=1j * 2 * np.pi * args.f_guess,
             arnoldi_m=args.arnoldi_m, static_options=static_opts,
+            device=args.device, return_info=True,
         )
         sig, f = growth_rate_and_frequency(eigs)
         dt_s = time.perf_counter() - t0
         results[psub] = (sig, f)
         print(
             f"psub {psub:8.1f} Ba: growth {sig:+10.3f} 1/s,"
-            f" f {f:7.2f} Hz   ({dt_s:.0f} s)"
+            f" f {f:7.2f} Hz   ({dt_s:.0f} s,"
+            f" cert {info['res_rel'].max():.1e},"
+            f" {info['factor_dtype']})"
         )
 
     ps = sorted(results)

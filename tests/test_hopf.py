@@ -36,22 +36,25 @@ def test_ritz_filter_diagnostics():
 
     # (b) one of four requested converged -> RuntimeWarning, result kept
     with pytest.warns(RuntimeWarning, match="only 1 of the requested 4"):
-        lam = _filter_ritz(
+        lam, ysel = _filter_ritz(
             theta, Y, np.array([1e-9, 1.0, 1.0]), 4, 30, sigma
         )
     np.testing.assert_allclose(lam, sigma - 1.0 / theta[0], rtol=1e-12)
+    assert ysel.shape == (3, 1)
 
-    # (c) all converged -> no warning, sorted by descending real part
+    # (c) all converged -> no warning, sorted by descending real part,
+    # Ritz-vector columns permuted consistently with the eigenvalues
     import warnings
 
     with warnings.catch_warnings():
         warnings.simplefilter("error")
-        lam = _filter_ritz(
+        lam, ysel = _filter_ritz(
             theta, Y, np.array([1e-9, 1e-9, 0.0]), 2, 30, sigma
         )
     expect = sigma - 1.0 / theta[:2]
-    expect = expect[np.argsort(-expect.real)]
-    np.testing.assert_allclose(lam, expect, rtol=1e-12)
+    order = np.argsort(-expect.real)
+    np.testing.assert_allclose(lam, expect[order], rtol=1e-12)
+    np.testing.assert_array_equal(ysel, Y[:, :2][:, order])
 
 
 @pytest.mark.slow
@@ -96,11 +99,7 @@ def test_phonation_onset():
     assert 30.0 < sigmas[8000.0][1] < 1000.0
 
 
-def test_banded_hopf_matches_dense():
-    """Shift-invert Arnoldi on the banded Hopf pencil (round-4: the
-    large-mesh path) reproduces the dense QZ eigenvalues near the shift.
-    The pencil is real, so the spectrum is conjugate-symmetric and the
-    banded solver may return either partner."""
+def _banded_test_models():
     mesh = vocal_fold_mesh(8, 4)
     from vf_fem_tpu.mesh.reorder import rcm_mesh
 
@@ -130,12 +129,21 @@ def test_banded_hopf_matches_dense():
     c = tm.control.copy()
     c["psub"][:] = 8000.0
     c["psup"][:] = 0.0
+    return tm, dm, c
+
+
+def test_banded_hopf_matches_dense():
+    """Shift-invert Arnoldi on the banded Hopf pencil (round-4: the
+    large-mesh path) reproduces the dense QZ eigenvalues near the shift.
+    The pencil is real, so the spectrum is conjugate-symmetric and the
+    banded solver may return either partner."""
+    tm, dm, c = _banded_test_models()
 
     eigs_d, _ = linear_stability(tm, dm, c, tm.prop)
     sig_d, f_d = growth_rate_and_frequency(eigs_d)
-    eigs_b, _ = linear_stability(
+    eigs_b, _, info = linear_stability(
         tm, dm, c, tm.prop, solver="banded",
-        sigma=1j * 2 * np.pi * f_d, arnoldi_m=60,
+        sigma=1j * 2 * np.pi * f_d, arnoldi_m=60, return_info=True,
     )
     # every banded mode must match a dense mode (or its conjugate)
     for lb in eigs_b[:4]:
@@ -147,3 +155,45 @@ def test_banded_hopf_matches_dense():
     sig_b, f_b = growth_rate_and_frequency(eigs_b)
     np.testing.assert_allclose(sig_b, sig_d, rtol=1e-5)
     np.testing.assert_allclose(f_b, f_d, rtol=1e-6)
+    # the eigenpair-residual certificate confirms the f64 pairs to the
+    # Ritz convergence gate (the filter accepts rel residual < 1e-6 on
+    # the shift-invert operator, so certified pairs sit just under it —
+    # NOT at machine precision)
+    assert np.all(info["res_rel"][:4] < 1e-6), info["res_rel"]
+
+
+def test_banded_hopf_f32_factors_certified():
+    """With float32 device factors (the TPU configuration — the chip has
+    no f64 LU) the shift-invert applications are inexact: Arnoldi CAN
+    converge spurious pairs that out-rank the genuine modes in
+    Re(lambda) (observed: a cert-2.8e-2 pair at Re=+132 above the true
+    +40.6 mode).  The independent host-side eigenpair certificate must
+    gate them out, leaving the genuine least-damped mode matching the
+    f64 run to f32-factor accuracy."""
+    tm, dm, c = _banded_test_models()
+    sigma = 1j * 2 * np.pi * 130.0
+
+    eigs64, _, info64 = linear_stability(
+        tm, dm, c, tm.prop, solver="banded",
+        sigma=sigma, arnoldi_m=60, return_info=True,
+    )
+    eigs32, _, info32 = linear_stability(
+        tm, dm, c, tm.prop, solver="banded",
+        sigma=sigma, arnoldi_m=60, return_info=True,
+        factor_dtype="float32",
+    )
+    assert info32["factor_dtype"] == "float32"
+    # every RETURNED mode passed its certificate gate
+    assert np.all(info64["res_rel"] < info64["cert_tol"])
+    assert np.all(info32["res_rel"] < info32["cert_tol"])
+    # certificates: f64 pairs converge to the 1e-6 Ritz gate; f32 pairs
+    # are honest about the factor precision (bounded, above the floor)
+    assert np.all(info64["res_rel"][:4] < 1e-6), info64["res_rel"]
+    # least-damped mode: growth/frequency at f32-factor accuracy —
+    # ~5e-4 relative on |lam| (the spurious +132 1/s pair would miss
+    # by 0.11 relative, two orders above this gate)
+    s64, f64_ = growth_rate_and_frequency(eigs64)
+    s32, f32_ = growth_rate_and_frequency(eigs32)
+    scale = abs(eigs64[0])
+    assert abs(s32 - s64) < 3e-3 * scale, (s32, s64)
+    np.testing.assert_allclose(f32_, f64_, rtol=1e-3)

@@ -64,6 +64,7 @@ def linear_stability(
     sigma: Optional[complex] = None,
     arnoldi_m: int = 80,
     static_options: Optional[dict] = None,
+    **banded_kwargs,
 ):
     """
     Return the ``n_modes`` least-damped eigenvalues (and the equilibrium).
@@ -98,7 +99,12 @@ def linear_stability(
         return linear_stability_banded(
             transient_model, dyn_model, control, prop,
             n_modes=n_modes, sigma=sigma, arnoldi_m=arnoldi_m,
-            static_options=static_options,
+            static_options=static_options, **banded_kwargs,
+        )
+    if banded_kwargs:
+        raise TypeError(
+            "linear_stability(solver='dense') does not accept banded-"
+            f"solver options {sorted(banded_kwargs)}"
         )
 
     # 1./2. equilibrium + linearization point
@@ -133,6 +139,13 @@ def linear_stability(
 
 def _filter_ritz(theta, Y, resid, n_modes, arnoldi_m, sigma):
     """Convergence-filter shift-invert Ritz values; map back to eigenvalues.
+
+    Returns ``(lam, Ysel)``: ALL converged eigenvalues sorted by
+    descending real part and the matching Ritz-vector coefficient
+    columns (for eigenpair residual certificates).  The caller
+    truncates to ``n_modes`` AFTER certificate gating, so a spurious
+    pair that fails the independent eigenpair certificate does not
+    crowd out a genuine mode.
 
     UNCONVERGED Ritz values (approximating the ``theta ~ 0`` cluster from
     strongly-damped / algebraic modes) map through ``lam = sigma - 1/theta``
@@ -169,8 +182,30 @@ def _filter_ritz(theta, Y, resid, n_modes, arnoldi_m, sigma):
             RuntimeWarning,
         )
     lam = sigma - 1.0 / theta[conv]
+    Ysel = Y[:, conv]
     order = np.argsort(-lam.real)
-    return lam[order][:n_modes]
+    return lam[order], Ysel[:, order]
+
+
+def _np_band_matvec(plan, blocks, x):
+    """Host (numpy) mirror of ``bsb.bsb_matvec`` — supports complex x.
+
+    Used by the eigenpair-residual certificate, which must be computed
+    INDEPENDENTLY of the device factors (on TPU the factors are f32; the
+    certificate bounds the eigenpair backward error against the blocks
+    as assembled)."""
+    b, h, nb, nblk, ndof = plan.b, plan.h, plan.nb, plan.nblk, plan.ndof
+    pad_tail = nblk * b - ndof
+    xpad = np.concatenate([
+        np.zeros(h * b, dtype=x.dtype), x,
+        np.zeros(h * b + pad_tail, dtype=x.dtype),
+    ])
+    wins = np.stack(
+        [xpad[m * b: m * b + nblk * b].reshape(nblk, b) for m in range(nb)],
+        axis=1,
+    )
+    y = np.einsum("nmij,nmj->ni", blocks, wins)
+    return y.reshape(-1)[:ndof]
 
 
 def linear_stability_banded(
@@ -182,6 +217,10 @@ def linear_stability_banded(
     sigma: Optional[complex] = None,
     arnoldi_m: int = 80,
     static_options: Optional[dict] = None,
+    device=None,
+    factor_dtype=None,
+    cert_tol: Optional[float] = None,
+    return_info: bool = False,
 ):
     """Shift-invert Arnoldi on the banded Hopf pencil (large mesh).
 
@@ -191,6 +230,42 @@ def linear_stability_banded(
     as ``lambda = sigma - 1/theta``.  Pick ``sigma = i*2*pi*f_guess``
     near the expected onset frequency; onset tracking sweeps psub and
     watches ``Re(lambda)`` cross zero.
+
+    Device offload (round 4): the complex banded factorization, the
+    batched ``W = Kz^{-1} U_w`` coupling solves, and the WHOLE per-step
+    shift-invert action (4 band matvecs + complex block-Thomas solve +
+    Woodbury correction, fused into ONE jitted call) run on ``device``
+    — by default the session's default accelerator, i.e. the TPU under
+    a TPU backend.  Only the Krylov recurrence (modified Gram–Schmidt
+    on the ~``arnoldi_m`` basis vectors) stays on the host in
+    complex128.  On TPU the factors are float32 (no f64 LU on device);
+    the returned eigenpairs carry an independent host-side residual
+    certificate computed against the blocks as assembled
+    (``info['res_rel']``), so f32-factor runs are self-validating.
+
+    Parameters
+    ----------
+    device:
+        ``None`` (session default device), a platform string
+        (``'cpu'``/``'tpu'``), or a ``jax.Device``.
+    factor_dtype:
+        dtype of the device factors/solves.  Default: float64 on a CPU
+        device with x64 enabled, else float32 (the TPU has no f64 LU).
+    cert_tol:
+        eigenpair-residual gate: Ritz pairs whose independent host-side
+        certificate exceeds this are DROPPED (with a warning) before
+        the ``n_modes`` truncation.  Inexact f32 shift-invert actions
+        can produce Arnoldi-converged but spurious pairs (the internal
+        Ritz filter cannot see solve error); the certificate can.
+        Default: 1e-5 for f64 factors, 2e-3 for f32.
+    return_info:
+        also return a dict with the per-mode eigenpair residual
+        certificate ``res_rel`` (``||(A + lam B) x|| / scale``, host
+        precision), ``n_conv``, ``factor_dtype`` and ``device``.
+
+    Returns
+    -------
+    ``(eigvals, eq_state)`` or ``(eigvals, eq_state, info)``.
     """
     import jax
     import jax.numpy as jnp
@@ -213,11 +288,22 @@ def linear_stability_banded(
     fsimap = dyn_model.fsimap
 
     cpu = jax.devices("cpu")[0]
+    if device is None:
+        device = jax.devices()[0]
+    elif isinstance(device, str):
+        device = jax.devices(device)[0]
+    if factor_dtype is None:
+        x64 = bool(jax.config.jax_enable_x64)
+        factor_dtype = (
+            np.float64 if (device.platform == "cpu" and x64) else np.float32
+        )
+    wp = np.dtype(factor_dtype)
+
+    # ---- assembly + small dense coupling pieces (host CPU, numpy) ------
     with jax.default_device(cpu):
         plan, Kb, Db, Mb = solid.assem_banded_state_blocks()
         Kb, Db, Mb = (np.asarray(x) for x in (Kb, Db, Mb))
 
-        # ---- small dense coupling pieces --------------------------------
         nq = fluid.state["q"].size
         npf = fluid.state["p"].size
         nf = nq + npf
@@ -240,106 +326,205 @@ def linear_stability_banded(
         C_f = np.zeros((ndof, nf))
         C_f[:, nq + vf] = C_ifc
 
-        U_w = C_f @ np.linalg.inv(Ff)  # (ndof, nf)
-
-        # ---- complex shifted banded factor ------------------------------
-        blocks_re = Kb + sr * Db + (sr * sr - si * si) * Mb
-        blocks_im = si * Db + 2.0 * sr * si * Mb
-        facz = cbtd.cbtd_factor(
-            plan, jnp.asarray(blocks_re), jnp.asarray(blocks_im)
-        )
-        solve_c = jax.jit(
-            lambda rr, ri: cbtd.cbtd_solve(plan, facz, rr, ri)
-        )
-
-        # W = Kz^{-1} U_w (complex ndof x nf), column by column
-        W = np.zeros((ndof, nf), dtype=complex)
-        for j in range(nf):
-            xr, xi = solve_c(
-                jnp.asarray(U_w[:, j]), jnp.zeros(ndof)
-            )
-            W[:, j] = np.asarray(xr) + 1j * np.asarray(xi)
-        # Woodbury capacitance: (I - G W)
-        Scap = np.eye(nf, dtype=complex) - (G_cols @ W[ydofs, :])
-        Scap_lu = sla.lu_factor(Scap)
+        FfI = np.linalg.inv(Ff)
+        U_w = C_f @ FfI  # (ndof, nf)
 
         bc = np.asarray(solid.residual.bc_dofs)
         bcmask = np.ones(ndof)
         bcmask[bc] = 0.0
 
-        mm_M = jax.jit(lambda c: bsb_mod.bsb_matvec(plan, jnp.asarray(Mb), c))
-        blocksDs_re = Db + sr * Mb
-        mm_Dre = jax.jit(
-            lambda c: bsb_mod.bsb_matvec(plan, jnp.asarray(blocksDs_re), c)
+    # complex shifted band: Kz = K + sigma D + sigma^2 M
+    blocks_re = Kb + sr * Db + (sr * sr - si * si) * Mb
+    blocks_im = si * Db + 2.0 * sr * si * Mb
+
+    # ---- device factor + batched coupling solves ------------------------
+    def put(a):
+        return jax.device_put(np.asarray(a, dtype=wp), device)
+
+    facz = jax.jit(lambda br, bi: cbtd.cbtd_factor(plan, br, bi))(
+        put(blocks_re), put(blocks_im)
+    )
+
+    # W = Kz^{-1} U_w: ALL nf columns in one vmapped device call
+    # (stored transposed, (nf, ndof) — lanes-last for the rank-nf update)
+    def _w_cols(fac, R):
+        return jax.vmap(
+            lambda rr: cbtd.cbtd_solve(plan, fac, rr, jnp.zeros_like(rr))
+        )(R)
+
+    WrT, WiT = jax.jit(_w_cols)(facz, put(np.ascontiguousarray(U_w.T)))
+
+    # Woodbury capacitance (I - G W) — tiny (nf x nf): invert on host
+    yd = np.asarray(ydofs)
+    Wy_r, Wy_i = (
+        np.asarray(a).astype(np.float64)
+        for a in jax.jit(lambda wr, wi: (wr[:, yd], wi[:, yd]))(WrT, WiT)
+    )
+    Scap = np.eye(nf, dtype=complex) - (G_cols @ (Wy_r + 1j * Wy_i).T)
+    ScapI = np.linalg.inv(Scap)
+
+    P = dict(
+        Mb=put(Mb),
+        DsM=put(Db + sr * Mb),
+        siM=put(si * Mb),
+        Gc=put(G_cols),
+        ScapIr=put(ScapI.real),
+        ScapIi=put(ScapI.imag),
+        FfI=put(FfI),
+        Wr=WrT,
+        Wi=WiT,
+        bcmask=put(bcmask),
+        ydofs=jax.device_put(np.asarray(ydofs, dtype=np.int32), device),
+    )
+
+    def _action(fac, p, xin):
+        """x -> (A + sigma B)^{-1} B x, complex via (re, im) pairs.
+
+        ONE fused device program per Arnoldi step: B-multiply (band M),
+        v/fluid elimination (band D + sigma M), complex block-Thomas
+        solve, rank-nf Woodbury FSI correction, fluid back-substitution.
+        """
+        xu_r, xu_i, xv_r, xv_i = xin.reshape(4, -1)
+        mv = lambda B, z: bsb_mod.bsb_matvec(plan, B, z)
+        # r = B x: u-row M xv; v-row -(bcmask xu); fluid 0
+        ru_r, ru_i = mv(p["Mb"], xv_r), mv(p["Mb"], xv_i)
+        rv_r = -(p["bcmask"] * xu_r)
+        rv_i = -(p["bcmask"] * xu_i)
+        # b = ru - (D + sigma M) rv   [complex]
+        b_r = ru_r - (mv(p["DsM"], rv_r) - mv(p["siM"], rv_i))
+        b_i = ru_i - (mv(p["DsM"], rv_i) + mv(p["siM"], rv_r))
+        y0r, y0i = cbtd.cbtd_solve(plan, fac, b_r, b_i)
+        # Woodbury: u = y0 + W ScapI G y0[ydofs]
+        t_r = p["Gc"] @ y0r[p["ydofs"]]
+        t_i = p["Gc"] @ y0i[p["ydofs"]]
+        s_r = p["ScapIr"] @ t_r - p["ScapIi"] @ t_i
+        s_i = p["ScapIr"] @ t_i + p["ScapIi"] @ t_r
+        u_r = y0r + s_r @ p["Wr"] - s_i @ p["Wi"]
+        u_i = y0i + s_i @ p["Wr"] + s_r @ p["Wi"]
+        v_r = rv_r + p["bcmask"] * (sr * u_r - si * u_i)
+        v_i = rv_i + p["bcmask"] * (sr * u_i + si * u_r)
+        g_r = p["Gc"] @ u_r[p["ydofs"]]
+        g_i = p["Gc"] @ u_i[p["ydofs"]]
+        f_r = -(p["FfI"] @ g_r)
+        f_i = -(p["FfI"] @ g_i)
+        return jnp.concatenate([u_r, u_i, v_r, v_i, f_r, f_i])
+
+    action = jax.jit(_action)
+
+    def op(x):
+        xin = np.concatenate([
+            x[:ndof].real, x[:ndof].imag,
+            x[ndof:2 * ndof].real, x[ndof:2 * ndof].imag,
+        ]).astype(wp)
+        out = np.asarray(action(facz, P, xin)).astype(np.float64)
+        u = out[:ndof] + 1j * out[ndof:2 * ndof]
+        v = out[2 * ndof:3 * ndof] + 1j * out[3 * ndof:4 * ndof]
+        f = out[4 * ndof:4 * ndof + nf] + 1j * out[4 * ndof + nf:]
+        return np.concatenate([u, v, f])
+
+    # ---- Arnoldi (host, complex128) -------------------------------------
+    n = 2 * ndof + nf
+    rng = np.random.default_rng(0)
+    v0 = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    v0[:ndof] *= bcmask
+    v0[ndof:2 * ndof] *= bcmask
+    v0 /= np.linalg.norm(v0)
+    m = min(arnoldi_m, n - 1)
+    V = np.zeros((n, m + 1), dtype=complex)
+    H = np.zeros((m + 1, m), dtype=complex)
+    V[:, 0] = v0
+    for k in range(m):
+        w = op(V[:, k])
+        # modified Gram-Schmidt, one reorthogonalization pass
+        for _ in range(2):
+            for i in range(k + 1):
+                hik = np.vdot(V[:, i], w)
+                H[i, k] += hik
+                w -= hik * V[:, i]
+        hk = np.linalg.norm(w)
+        H[k + 1, k] = hk
+        if hk < 1e-12:
+            m = k + 1
+            break
+        V[:, k + 1] = w / hk
+
+    theta, Y = np.linalg.eig(H[:m, :m])
+    # Ritz residuals: |h_{m+1,m} * y_m| bounds the eigen-residual of
+    # the shift-invert operator; relative to |theta| it bounds the
+    # backward error of the Ritz pair.
+    h_last = np.abs(H[m, m - 1]) if m <= H.shape[0] - 1 else 0.0
+    resid = h_last * np.abs(Y[-1, :])
+    lam, Ysel = _filter_ritz(theta, Y, resid, n_modes, arnoldi_m, sigma)
+
+    # ---- host eigenpair-residual certificate ----------------------------
+    # ||(A + lam B) x|| row-wise against the blocks AS ASSEMBLED —
+    # independent of the (possibly f32) device factors, so inexact
+    # shift-invert applications are caught here rather than trusted.
+    X = V[:, :m] @ Ysel
+    res_rel = np.zeros(len(lam))
+    for j, lj in enumerate(lam):
+        x = X[:, j] / np.linalg.norm(X[:, j])
+        u, v, f = x[:ndof], x[ndof:2 * ndof], x[2 * ndof:]
+        Ku = _np_band_matvec(plan, Kb, u)
+        Dv = _np_band_matvec(plan, Db, v)
+        Mv = _np_band_matvec(plan, Mb, v)
+        Cf = C_f @ f
+        r_u = Ku + Dv + lj * Mv + Cf
+        r_v = v - lj * (bcmask * u)
+        Gu = G_cols @ u[ydofs]
+        r_f = Ff @ f + Gu
+        num = np.sqrt(
+            np.sum(np.abs(r_u) ** 2) + np.sum(np.abs(r_v) ** 2)
+            + np.sum(np.abs(r_f) ** 2)
         )
-        mm_Dim = jax.jit(
-            lambda c: bsb_mod.bsb_matvec(plan, jnp.asarray(si * Mb), c)
+        den = (
+            np.linalg.norm(Ku) + np.linalg.norm(Dv)
+            + abs(lj) * np.linalg.norm(Mv) + np.linalg.norm(Cf)
+            + np.linalg.norm(v) + abs(lj) * np.linalg.norm(u)
+            + np.linalg.norm(Ff @ f) + np.linalg.norm(Gu) + 1e-300
         )
+        res_rel[j] = num / den
 
-        def mv_M(c):  # complex M @ c (M has real entries)
-            return np.asarray(mm_M(c.real)) + 1j * np.asarray(mm_M(c.imag))
+    # certificate gate: drop Arnoldi-converged but spurious pairs (the
+    # internal Ritz filter measures only the Krylov recurrence residual
+    # and cannot see inexact-solve error; with f32 factors such pairs DO
+    # occur and can out-rank genuine modes in Re(lam))
+    if cert_tol is None:
+        cert_tol = 1e-5 if wp == np.float64 else 2e-3
+    keep = res_rel < cert_tol
+    if not np.any(keep):
+        raise RuntimeError(
+            "linear_stability(banded): every converged Ritz pair FAILED"
+            f" the independent eigenpair-residual certificate (best"
+            f" {res_rel.min():.1e} vs cert_tol {cert_tol:.1e};"
+            f" factor_dtype {wp}) — the shift-invert factor precision is"
+            " insufficient at this conditioning; use f64 factors (CPU)"
+            " or move the shift closer to the target modes"
+        )
+    if not np.all(keep):
+        import warnings
 
-        def mv_Dsig(c):  # (D + sigma*M) @ c, complex
-            re = np.asarray(mm_Dre(c.real)) - np.asarray(mm_Dim(c.imag))
-            im = np.asarray(mm_Dre(c.imag)) + np.asarray(mm_Dim(c.real))
-            return re + 1j * im
+        warnings.warn(
+            f"linear_stability(banded): dropped {int((~keep).sum())} of"
+            f" {len(lam)} converged Ritz pairs whose eigenpair residual"
+            f" exceeded cert_tol={cert_tol:.1e} (inexact"
+            f" {wp}-factor shift-invert artifacts); {int(keep.sum())}"
+            " certified modes remain",
+            RuntimeWarning,
+        )
+    lam, res_rel = lam[keep][:n_modes], res_rel[keep][:n_modes]
 
-        def solve_shift(b):  # (K + sigma D + sigma^2 M - U_w G)^{-1} b
-            yr, yi = solve_c(jnp.asarray(b.real), jnp.asarray(b.imag))
-            y0 = np.asarray(yr) + 1j * np.asarray(yi)
-            t = G_cols @ y0[ydofs]
-            s = sla.lu_solve(Scap_lu, t)
-            return y0 + W @ s
-
-        def op(x):
-            """x -> (A + sigma B)^{-1} B x on (u, v, f) complex."""
-            xu, xv, xf = x[:ndof], x[ndof:2 * ndof], x[2 * ndof:]
-            # r = B x (B: u-row dFu/dvt = M; v-row -I on u; fluid 0)
-            ru = mv_M(xv)
-            rv = -(bcmask * xu)
-            # eliminate v and the fluid block
-            b = ru - mv_Dsig(rv)  # r_f = 0
-            u = solve_shift(b)
-            v = rv + sigma * (bcmask * u)
-            f = np.linalg.solve(Ff, -(G_cols @ u[ydofs]))
-            f_full = np.zeros(nf, dtype=complex)
-            f_full[:] = f
-            return np.concatenate([u, v, f_full])
-
-        # ---- Arnoldi (host, complex128) ----------------------------------
-        n = 2 * ndof + nf
-        rng = np.random.default_rng(0)
-        v0 = rng.standard_normal(n) + 1j * rng.standard_normal(n)
-        v0[:ndof] *= bcmask
-        v0[ndof:2 * ndof] *= bcmask
-        v0 /= np.linalg.norm(v0)
-        m = min(arnoldi_m, n - 1)
-        V = np.zeros((n, m + 1), dtype=complex)
-        H = np.zeros((m + 1, m), dtype=complex)
-        V[:, 0] = v0
-        for k in range(m):
-            w = op(V[:, k])
-            # modified Gram-Schmidt, one reorthogonalization pass
-            for _ in range(2):
-                for i in range(k + 1):
-                    hik = np.vdot(V[:, i], w)
-                    H[i, k] += hik
-                    w -= hik * V[:, i]
-            hk = np.linalg.norm(w)
-            H[k + 1, k] = hk
-            if hk < 1e-12:
-                m = k + 1
-                break
-            V[:, k + 1] = w / hk
-
-        theta, Y = np.linalg.eig(H[:m, :m])
-        # Ritz residuals: |h_{m+1,m} * y_m| bounds the eigen-residual of
-        # the shift-invert operator; relative to |theta| it bounds the
-        # backward error of the Ritz pair.
-        h_last = np.abs(H[m, m - 1]) if m <= H.shape[0] - 1 else 0.0
-        resid = h_last * np.abs(Y[-1, :])
-        lam = _filter_ritz(theta, Y, resid, n_modes, arnoldi_m, sigma)
-        return lam, eq_state
+    if return_info:
+        info = {
+            "res_rel": res_rel,
+            "n_conv": len(lam),
+            "factor_dtype": str(wp),
+            "device": str(device),
+            "arnoldi_m": m,
+            "cert_tol": cert_tol,
+        }
+        return lam, eq_state, info
+    return lam, eq_state
 
 
 def growth_rate_and_frequency(eigvals: np.ndarray):

@@ -94,7 +94,11 @@ def cbtd_factor(
 def cbtd_solve(plan: BSBPlan, factors: CBTDFactors, r_re, r_im):
     """Solve the complex system for a complex rhs given as (re, im);
     returns (x_re, x_im)."""
-    Sinv, L, U, d, Bt = factors
+    Sinv, L, U, d = factors[:4]
+    # NOT factors.Bt: the int leaf is traced when the factors are passed
+    # as jit arguments (remote-compile payload limits require that); the
+    # static shape carries the same information
+    Bt = Sinv.shape[1] // 2
     n_sup = Sinv.shape[0]
     n = r_re.shape[0]
     npad = n_sup * Bt - n
