@@ -453,6 +453,92 @@ def main():
         finally:
             signal.alarm(0)
 
+        # Hopf (linear-stability) leg — phonation-onset eigenanalysis at
+        # a scale dense QZ cannot reach (dense caps at ~5k dofs): banded
+        # first-order pencil, shift-invert Arnoldi with the complex
+        # factorization and every fused action ON the device (f32
+        # factors, gated by the independent eigenpair certificate).
+        # Reports seconds per onset point — the marginal cost an
+        # onset-pressure sweep pays per psub sample (compiles cached
+        # after the first point).
+        signal.alarm(1500)
+        try:
+            from vf_fem_tpu.load import load_fsi_model
+            from vf_fem_tpu.mesh import load_gmsh as _load_gmsh
+            from vf_fem_tpu.misc.hopf import (
+                growth_rate_and_frequency, linear_stability,
+            )
+            from vf_fem_tpu.residuals import fluid as flr_h, solid as slr_h
+
+            msh_h = os.path.join(
+                os.path.dirname(__file__), "meshes",
+                "M5_3layers_rcm_h006.msh",
+            )
+            mesh_h = _load_gmsh(msh_h)
+            ymax_h = mesh_h.coords[:, 1].max()
+
+            def _mk_hopf(model_type):
+                m = load_fsi_model(
+                    mesh_h, slr_h.KelvinVoigt,
+                    flr_h.BernoulliSmoothMinSep, model_type=model_type,
+                )
+                p = m.prop
+                p["emod"][:] = 5e4
+                p["rho"][:] = 1.0
+                p["eta"][:] = 3.0
+                p["nu"][:] = 0.45
+                p["ycontact"][:] = ymax_h + 0.05
+                p["kcontact"][:] = 1e8
+                p["rho_air"][:] = 1.1225e-3
+                p["zeta_min"][:] = 1e-3
+                p["zeta_sep"][:] = 1e-3
+                p["ymid"][:] = ymax_h + 0.01
+                m.set_prop(p)
+                return m
+
+            tm_h, dm_h = _mk_hopf("transient"), _mk_hopf("dynamical")
+            c_h = tm_h.control.copy()
+            c_h["psub"][:] = 500.0
+            c_h["psup"][:] = 0.0
+            hopf_args = dict(
+                solver="banded", sigma=1j * 2 * np.pi * 120.0,
+                arnoldi_m=70, static_options={"linear_solver": "btd"},
+                return_info=True,
+            )
+            t0 = time.perf_counter()
+            eigs_h, _, info_h = linear_stability(
+                tm_h, dm_h, c_h, tm_h.prop, **hopf_args
+            )
+            t_first = time.perf_counter() - t0
+            c_h["psub"][:] = 1000.0
+            t0 = time.perf_counter()
+            eigs_h2, _, info_h2 = linear_stability(
+                tm_h, dm_h, c_h, tm_h.prop, **hopf_args
+            )
+            t_point = time.perf_counter() - t0
+            sig_h, f_h = growth_rate_and_frequency(eigs_h)
+            log(
+                f"hopf: {t_point:.1f} s/onset-point at"
+                f" {tm_h.solid.ndof} dofs (first {t_first:.1f}s incl."
+                f" compile; growth {sig_h:+.3f} 1/s, f {f_h:.2f} Hz,"
+                f" cert {float(info_h['res_rel'].max()):.1e},"
+                f" {info_h['factor_dtype']})"
+            )
+            out["hopf"] = {
+                "ndof": int(tm_h.solid.ndof),
+                "point_s": round(t_point, 1),
+                "first_point_s": round(t_first, 1),
+                "growth_psub500": round(float(sig_h), 3),
+                "freq_hz": round(float(f_h), 2),
+                "cert_max": float(info_h["res_rel"].max()),
+                "factor_dtype": info_h["factor_dtype"],
+                "arnoldi_m": 70,
+            }
+        except Exception as e:
+            log(f"hopf leg skipped: {e!r}")
+        finally:
+            signal.alarm(0)
+
         # Batched sweep leg — BASELINE config 5 as written: per-variant
         # GEOMETRY (umesh shape displacement) and stiffness, vmapped.
         signal.alarm(1500)

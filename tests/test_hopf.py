@@ -164,12 +164,15 @@ def test_banded_hopf_matches_dense():
 
 def test_banded_hopf_f32_factors_certified():
     """With float32 device factors (the TPU configuration — the chip has
-    no f64 LU) the shift-invert applications are inexact: Arnoldi CAN
-    converge spurious pairs that out-rank the genuine modes in
-    Re(lambda) (observed: a cert-2.8e-2 pair at Re=+132 above the true
-    +40.6 mode).  The independent host-side eigenpair certificate must
-    gate them out, leaving the genuine least-damped mode matching the
-    f64 run to f32-factor accuracy."""
+    no f64 LU) the shift-invert applications are inexact.
+
+    Without refinement (``refine=0``) Arnoldi CAN converge spurious
+    pairs that out-rank the genuine modes in Re(lambda) (observed: a
+    cert-2.8e-2 pair at Re=+132 above the true +40.6 mode) — the
+    independent host-side eigenpair certificate must gate them out.
+    With the default device-side iterative refinement the solve error
+    contracts to the f32 matvec floor and the f32 run matches the f64
+    one with tight certificates."""
     tm, dm, c = _banded_test_models()
     sigma = 1j * 2 * np.pi * 130.0
 
@@ -177,23 +180,43 @@ def test_banded_hopf_f32_factors_certified():
         tm, dm, c, tm.prop, solver="banded",
         sigma=sigma, arnoldi_m=60, return_info=True,
     )
+    s64, f64_ = growth_rate_and_frequency(eigs64)
+    scale = abs(eigs64[0])
+    # every RETURNED mode passed its certificate gate; f64 pairs
+    # converge to the 1e-6 Ritz gate
+    assert np.all(info64["res_rel"] < info64["cert_tol"])
+    assert np.all(info64["res_rel"][:4] < 1e-6), info64["res_rel"]
+
+    # --- refine=0: the gate must separate spurious from genuine ------
     eigs32, _, info32 = linear_stability(
+        tm, dm, c, tm.prop, solver="banded",
+        sigma=sigma, arnoldi_m=60, return_info=True,
+        factor_dtype="float32", refine=0,
+    )
+    assert info32["factor_dtype"] == "float32"
+    assert np.all(info32["res_rel"] < info32["cert_tol"])
+    # least-damped mode: growth/frequency at raw f32-factor accuracy —
+    # ~5e-4 relative on |lam| (the spurious +132 1/s pair would miss
+    # by 0.11 relative, two orders above this gate)
+    s32, f32_ = growth_rate_and_frequency(eigs32)
+    assert abs(s32 - s64) < 3e-3 * scale, (s32, s64)
+    np.testing.assert_allclose(f32_, f64_, rtol=1e-3)
+
+    # --- default refine: certs tighten well below the raw-f32 level
+    # and the least-damped mode sharpens toward the f64 answer --------
+    eigs32r, _, info32r = linear_stability(
         tm, dm, c, tm.prop, solver="banded",
         sigma=sigma, arnoldi_m=60, return_info=True,
         factor_dtype="float32",
     )
-    assert info32["factor_dtype"] == "float32"
-    # every RETURNED mode passed its certificate gate
-    assert np.all(info64["res_rel"] < info64["cert_tol"])
-    assert np.all(info32["res_rel"] < info32["cert_tol"])
-    # certificates: f64 pairs converge to the 1e-6 Ritz gate; f32 pairs
-    # are honest about the factor precision (bounded, above the floor)
-    assert np.all(info64["res_rel"][:4] < 1e-6), info64["res_rel"]
-    # least-damped mode: growth/frequency at f32-factor accuracy —
-    # ~5e-4 relative on |lam| (the spurious +132 1/s pair would miss
-    # by 0.11 relative, two orders above this gate)
-    s64, f64_ = growth_rate_and_frequency(eigs64)
-    s32, f32_ = growth_rate_and_frequency(eigs32)
-    scale = abs(eigs64[0])
-    assert abs(s32 - s64) < 3e-3 * scale, (s32, s64)
-    np.testing.assert_allclose(f32_, f64_, rtol=1e-3)
+    assert info32r["refine"] > 0
+    # cert floor with refinement: the solve error is gone (measured
+    # contraction 1.4e-4/pass) — what remains is the f32 rounding of
+    # the action INPUTS/B-multiply amplified by pencil conditioning
+    # (~1.6e-4 worst mode here, vs ~1e-2 unrefined)
+    assert np.all(info32r["res_rel"] < 5e-4), info32r["res_rel"]
+    # the least-damped mode itself is f64-grade (measured 8e-8 on
+    # growth, 2.4e-7 on frequency)
+    s32r, f32r_ = growth_rate_and_frequency(eigs32r)
+    assert abs(s32r - s64) < 1e-5 * scale, (s32r, s64)
+    np.testing.assert_allclose(f32r_, f64_, rtol=1e-5)

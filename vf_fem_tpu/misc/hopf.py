@@ -219,6 +219,7 @@ def linear_stability_banded(
     static_options: Optional[dict] = None,
     device=None,
     factor_dtype=None,
+    refine: Optional[int] = None,
     cert_tol: Optional[float] = None,
     return_info: bool = False,
 ):
@@ -251,6 +252,16 @@ def linear_stability_banded(
     factor_dtype:
         dtype of the device factors/solves.  Default: float64 on a CPU
         device with x64 enabled, else float32 (the TPU has no f64 LU).
+    refine:
+        iterative-refinement passes per shift-invert action: residual
+        against the shifted coupled operator computed ON THE HOST in
+        float64 (the coupled residual cancels ~5 orders, so a
+        working-dtype residual stalls near its rounding floor),
+        correction through the same device factors.  Measured
+        contraction ~1.4e-4 per pass from the ~10% raw f32 solve
+        error: refine=1 reaches ~3e-5 solve accuracy, refine=2 ~4e-9.
+        Costs one extra device call + 4 host band matvecs per pass.
+        Default: 0 for f64 factors, 1 for f32.
     cert_tol:
         eigenpair-residual gate: Ritz pairs whose independent host-side
         certificate exceeds this are DROPPED (with a warning) before
@@ -341,8 +352,9 @@ def linear_stability_banded(
     def put(a):
         return jax.device_put(np.asarray(a, dtype=wp), device)
 
+    br_d, bi_d = put(blocks_re), put(blocks_im)
     facz = jax.jit(lambda br, bi: cbtd.cbtd_factor(plan, br, bi))(
-        put(blocks_re), put(blocks_im)
+        br_d, bi_d
     )
 
     # W = Kz^{-1} U_w: ALL nf columns in one vmapped device call
@@ -370,19 +382,33 @@ def linear_stability_banded(
         Gc=put(G_cols),
         ScapIr=put(ScapI.real),
         ScapIi=put(ScapI.imag),
-        FfI=put(FfI),
         Wr=WrT,
         Wi=WiT,
         bcmask=put(bcmask),
         ydofs=jax.device_put(np.asarray(ydofs, dtype=np.int32), device),
     )
 
-    def _action(fac, p, xin):
-        """x -> (A + sigma B)^{-1} B x, complex via (re, im) pairs.
+    if refine is None:
+        refine = 0 if wp == np.float64 else 1
+
+    def _solve_coupled(fac, p, b_r, b_i):
+        """(Kz - U_w G~)^{-1} b: block-Thomas + rank-nf Woodbury."""
+        y0r, y0i = cbtd.cbtd_solve(plan, fac, b_r, b_i)
+        t_r = p["Gc"] @ y0r[p["ydofs"]]
+        t_i = p["Gc"] @ y0i[p["ydofs"]]
+        s_r = p["ScapIr"] @ t_r - p["ScapIi"] @ t_i
+        s_i = p["ScapIr"] @ t_i + p["ScapIi"] @ t_r
+        u_r = y0r + s_r @ p["Wr"] - s_i @ p["Wi"]
+        u_i = y0i + s_i @ p["Wr"] + s_r @ p["Wi"]
+        return u_r, u_i
+
+    def _action0(fac, p, xin):
+        """x -> initial (A + sigma B)^{-1} B x solve, complex (re, im).
 
         ONE fused device program per Arnoldi step: B-multiply (band M),
         v/fluid elimination (band D + sigma M), complex block-Thomas
-        solve, rank-nf Woodbury FSI correction, fluid back-substitution.
+        solve, rank-nf Woodbury FSI correction.  Returns the coupled
+        solve iterate u AND its rhs b (for host-side refinement).
         """
         xu_r, xu_i, xv_r, xv_i = xin.reshape(4, -1)
         mv = lambda B, z: bsb_mod.bsb_matvec(plan, B, z)
@@ -393,33 +419,51 @@ def linear_stability_banded(
         # b = ru - (D + sigma M) rv   [complex]
         b_r = ru_r - (mv(p["DsM"], rv_r) - mv(p["siM"], rv_i))
         b_i = ru_i - (mv(p["DsM"], rv_i) + mv(p["siM"], rv_r))
-        y0r, y0i = cbtd.cbtd_solve(plan, fac, b_r, b_i)
-        # Woodbury: u = y0 + W ScapI G y0[ydofs]
-        t_r = p["Gc"] @ y0r[p["ydofs"]]
-        t_i = p["Gc"] @ y0i[p["ydofs"]]
-        s_r = p["ScapIr"] @ t_r - p["ScapIi"] @ t_i
-        s_i = p["ScapIr"] @ t_i + p["ScapIi"] @ t_r
-        u_r = y0r + s_r @ p["Wr"] - s_i @ p["Wi"]
-        u_i = y0i + s_i @ p["Wr"] + s_r @ p["Wi"]
-        v_r = rv_r + p["bcmask"] * (sr * u_r - si * u_i)
-        v_i = rv_i + p["bcmask"] * (sr * u_i + si * u_r)
-        g_r = p["Gc"] @ u_r[p["ydofs"]]
-        g_i = p["Gc"] @ u_i[p["ydofs"]]
-        f_r = -(p["FfI"] @ g_r)
-        f_i = -(p["FfI"] @ g_i)
-        return jnp.concatenate([u_r, u_i, v_r, v_i, f_r, f_i])
+        u_r, u_i = _solve_coupled(fac, p, b_r, b_i)
+        return jnp.concatenate([u_r, u_i, b_r, b_i])
 
-    action = jax.jit(_action)
+    def _correct(fac, p, rin):
+        """One refinement correction: (Kz - U_w G~)^{-1} r."""
+        r_r, r_i = rin.reshape(2, -1)
+        du_r, du_i = _solve_coupled(fac, p, r_r, r_i)
+        return jnp.concatenate([du_r, du_i])
+
+    action0 = jax.jit(_action0)
+    correct = jax.jit(_correct)
 
     def op(x):
+        xu, xv = x[:ndof], x[ndof:2 * ndof]
         xin = np.concatenate([
-            x[:ndof].real, x[:ndof].imag,
-            x[ndof:2 * ndof].real, x[ndof:2 * ndof].imag,
+            xu.real, xu.imag, xv.real, xv.imag,
         ]).astype(wp)
-        out = np.asarray(action(facz, P, xin)).astype(np.float64)
-        u = out[:ndof] + 1j * out[ndof:2 * ndof]
-        v = out[2 * ndof:3 * ndof] + 1j * out[3 * ndof:4 * ndof]
-        f = out[4 * ndof:4 * ndof + nf] + 1j * out[4 * ndof + nf:]
+        out0 = np.asarray(action0(facz, P, xin)).astype(np.float64)
+        u = out0[:ndof] + 1j * out0[ndof:2 * ndof]
+        b = out0[2 * ndof:3 * ndof] + 1j * out0[3 * ndof:]
+        # Iterative refinement with a HOST float64 residual.  The f32
+        # factor solve error is O(10%) at this conditioning, and a
+        # residual computed in the working dtype STALLS near 3e-2: the
+        # coupled residual b - Kz u + U_w (G u_y) cancels ~5 orders, so
+        # its f32 rounding floor is above the refinement target.  In
+        # f64 (against the blocks as assembled) each pass contracts the
+        # solve error ~1.4e-4x (measured; Woodbury W error does not
+        # limit the rate): refine=1 reaches ~3e-5, refine=2 ~4e-9 of
+        # the rhs.
+        for _ in range(refine):
+            Ku = (
+                _np_band_matvec(plan, blocks_re, u.real)
+                - _np_band_matvec(plan, blocks_im, u.imag)
+            ) + 1j * (
+                _np_band_matvec(plan, blocks_re, u.imag)
+                + _np_band_matvec(plan, blocks_im, u.real)
+            )
+            r = b - Ku + U_w @ (G_cols @ u[ydofs])
+            rin = np.concatenate([r.real, r.imag]).astype(wp)
+            d = np.asarray(correct(facz, P, rin)).astype(np.float64)
+            u = u + d[:ndof] + 1j * d[ndof:]
+        # back-substitution (host, f64): v then the fluid block
+        rv = -(bcmask * xu)
+        v = rv + sigma * (bcmask * u)
+        f = -(FfI @ (G_cols @ u[ydofs]))
         return np.concatenate([u, v, f])
 
     # ---- Arnoldi (host, complex128) -------------------------------------
@@ -522,6 +566,7 @@ def linear_stability_banded(
             "device": str(device),
             "arnoldi_m": m,
             "cert_tol": cert_tol,
+            "refine": refine,
         }
         return lam, eq_state, info
     return lam, eq_state
