@@ -95,6 +95,11 @@ def main():
                     choices=("cpu", "tpu"),
                     help="where the factorization + shift-invert"
                          " actions run (tpu: f32 factors + certificate)")
+    ap.add_argument("--h2d", type=float, default=None,
+                    help="generate the 2D M5-3layers profile at this"
+                         " element size instead of the committed"
+                         " 23.7k-dof asset (0.003 -> ~94.8k dofs);"
+                         " cached beside this script")
     args = ap.parse_args()
 
     if args.extrude:
@@ -107,6 +112,25 @@ def main():
             extrude_mesh(m5_mesh("M5_CB_GA3", h=args.h, smooth_iters=5), zs)
         )
         tm, dm = make_models(mesh, zs=zs)
+    elif args.h2d:
+        from vf_fem_tpu.mesh import m5_mesh
+        from vf_fem_tpu.mesh.reorder import rcm_mesh
+        from vf_fem_tpu.mesh.writers import write_gmsh
+
+        cache = os.path.join(
+            os.path.dirname(__file__), f".m5_3layers_h{args.h2d:g}_rcm.msh"
+        )
+        if os.path.exists(cache):
+            mesh = load_gmsh(cache)
+        else:
+            t0 = time.perf_counter()
+            mesh = rcm_mesh(
+                m5_mesh("M5_3layers", h=args.h2d, smooth_iters=10)
+            )
+            print(f"meshed h={args.h2d:g}: {mesh.num_vertices} verts"
+                  f" ({time.perf_counter() - t0:.0f}s)")
+            write_gmsh(mesh, cache)
+        tm, dm = make_models(mesh)
     else:
         mesh = load_gmsh(MESH)
         tm, dm = make_models(mesh)
