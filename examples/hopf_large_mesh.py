@@ -163,10 +163,19 @@ def main():
     sgn = [results[p][0] > 0 for p in ps]
     if any(sgn) and not all(sgn):
         i = sgn.index(True)
-        print(
-            f"\nphonation onset between {ps[i-1]:.0f} and {ps[i]:.0f} Ba"
-            f" (mode ~{results[ps[i]][1]:.1f} Hz)"
-        )
+        if i == 0:
+            # the lowest swept pressure is already unstable — there is
+            # no bracket inside the range (ps[i-1] would wrap around)
+            print(
+                f"\nphonation onset below {ps[0]:.0f} Ba"
+                f" (mode ~{results[ps[0]][1]:.1f} Hz) — extend the"
+                " sweep downward"
+            )
+        else:
+            print(
+                f"\nphonation onset between {ps[i-1]:.0f} and"
+                f" {ps[i]:.0f} Ba (mode ~{results[ps[i]][1]:.1f} Hz)"
+            )
     else:
         print("\nno onset crossing in the sweep range")
 

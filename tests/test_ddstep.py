@@ -867,6 +867,38 @@ def test_dd_integrate_fsai_matches_single_device():
         np.asarray(traj["pref"]), np.asarray(traj_ref["pref"]),
         rtol=1e-8, atol=1e-10,
     )
+    # DD FSAI carries the envelope telemetry (per-step ``bracketed``)
+    # so finalize_run's lagged-fallback guard fires on sharded runs too;
+    # this in-envelope run must have bracketed every step
+    assert hasattr(infos, "bracketed")
+    assert np.all(np.asarray(infos.bracketed).astype(bool))
+
+
+def test_dd_integrate_fsai_envelope_guard_warns():
+    """The STATIC half of the FSAI envelope guard (contact plane must
+    lie below the channel midline) fires on sharded runs exactly as on
+    single-chip ones — DDIntegrator.integrate routes through
+    model.check_envelope and finalize_run's telemetry."""
+    import pytest as _pytest
+
+    from vf_fem_tpu.parallel.ddstep import DDIntegrator
+
+    model = _make_fsai_model(20, 10)
+    prop = model.prop
+    ymax = float(np.asarray(model.solid._Xref)[:, 1].max())
+    prop["ycontact"][:] = ymax + 0.05  # above ymid: out of envelope
+    model.set_prop(prop)
+    ini = model.state0.copy()
+    ini[:] = 0.0
+    times = model.dt * np.arange(3)
+    dd = DDIntegrator(
+        model, _mesh(4), params={"jacobian_refresh_steps": 8}
+    )
+    with _pytest.warns(RuntimeWarning, match="outside the supported"):
+        fin, info = dd.integrate(
+            None, ini, [model.control], prop, times, write=False
+        )
+    assert "lagged_fallback_steps" in info
 
 
 def test_dd_dp_tp_sweep_fsai_matches_single_device():

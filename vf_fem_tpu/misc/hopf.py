@@ -535,6 +535,7 @@ def linear_stability_banded(
     # occur and can out-rank genuine modes in Re(lam))
     if cert_tol is None:
         cert_tol = 1e-5 if wp == np.float64 else 2e-3
+    n_conv_ritz = len(lam)  # converged Ritz pairs, BEFORE cert gating
     keep = res_rel < cert_tol
     if not np.any(keep):
         raise RuntimeError(
@@ -561,7 +562,11 @@ def linear_stability_banded(
     if return_info:
         info = {
             "res_rel": res_rel,
-            "n_conv": len(lam),
+            # converged Ritz pairs (the arnoldi_m sizing signal) vs
+            # what survived the certificate gate and n_modes truncation
+            "n_conv": n_conv_ritz,
+            "n_cert_dropped": n_conv_ritz - int(keep.sum()),
+            "n_returned": len(lam),
             "factor_dtype": str(wp),
             "device": str(device),
             "arnoldi_m": m,

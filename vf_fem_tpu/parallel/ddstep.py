@@ -1183,13 +1183,21 @@ class DDIntegrator:
                 # masked commit: a converged dp row keeps iterating for
                 # collective lockstep without moving its state
                 act = own_active(carry)
-                # sanitized BEFORE the selects (TPU fused-select rewrite)
-                x_new = tuple(sanitize_iterate(xn) for xn in picard(x))
-                x2 = tuple(
-                    jnp.where(act, xn, xo) for xn, xo in zip(x_new, x)
-                )
+                x_raw = picard(x)
+                # norm the RAW update: a non-finite iterate scores
+                # bigval (the row stagnation-stops at the next cond)
+                # and is NOT committed — norming the entry-sanitized
+                # iterate would zero-fill the NaNs into a spuriously
+                # small, possibly "converged" delta.  Only the CARRIED
+                # arrays are entry-sanitized (TPU fused-select rewrite:
+                # 0 * NaN = NaN through jnp.where)
                 err_new = sanitize_err(
-                    _coupled_delta(x_new, x), bigval_of(err)
+                    _coupled_delta(x_raw, x), bigval_of(err)
+                )
+                ok = jnp.logical_and(act, err_new < bigval_of(err))
+                x_new = tuple(sanitize_iterate(xn) for xn in x_raw)
+                x2 = tuple(
+                    jnp.where(ok, xn, xo) for xn, xo in zip(x_new, x)
                 )
                 return (
                     x2,
@@ -1271,13 +1279,17 @@ class DDIntegrator:
             def body_masked(carry):
                 lam, inc, inc_prev, k = carry
                 act = own_active(carry)  # masked commit (dp lockstep)
-                # sanitized BEFORE the selects (TPU fused-select rewrite)
-                lam_new = tmap(sanitize_iterate, next_lam(lam))
-                lam2 = tmap(
-                    lambda a, b: jnp.where(act, a, b), lam_new, lam
-                )
+                lam_raw = next_lam(lam)
+                # norm the RAW update (non-finite -> bigval, no commit,
+                # stagnation-stop next cond); entry-sanitize only the
+                # carried arrays (TPU fused-select: 0 * NaN = NaN)
                 inc_new = sanitize_err(
-                    _coupled_delta(lam_new, lam), bigval_of(inc)
+                    _coupled_delta(lam_raw, lam), bigval_of(inc)
+                )
+                ok = jnp.logical_and(act, inc_new < bigval_of(inc))
+                lam_new = tmap(sanitize_iterate, lam_raw)
+                lam2 = tmap(
+                    lambda a, b: jnp.where(ok, a, b), lam_new, lam
                 )
                 return (
                     lam2,
@@ -1388,13 +1400,22 @@ class DDIntegrator:
                     {"area": area, **ext, "psup": psup}, prop_f, proto
                 )
 
-            qp, _ = solve_flow_root(
+            qp, bracketed = solve_flow_root(
                 fluid_at, state["q"],
                 n_expand=int(params_d.get("fsai_expand_iterations", 6)),
                 n_bisect=int(params_d.get("fsai_bisect_iterations", 20)),
             )
             pinc1, pref1 = wra_full(
                 pinc_1, state["pinc"], state["pref"], qp["q"], ac_prop
+            )
+            # carry the envelope telemetry so finalize_run's runtime
+            # guard (lagged-fallback count + warning) fires on DD runs
+            # exactly as on single-chip ones (models/fsai.py)
+            from ..models.fsai import FSAISolveInfo
+
+            info = FSAISolveInfo(
+                num_iter=info.num_iter, abs_err=info.abs_err,
+                rel_err=info.rel_err, bracketed=bracketed,
             )
             return {
                 "u": u1, "v": v1, "a": a1, **qp,
@@ -1494,7 +1515,14 @@ class DDIntegrator:
         if self._fsai:
             state_spec.update({"pinc": P(), "pref": P()})
             traj_spec.update({"pinc": P(), "pref": P()})
-        info_spec = SolveInfo(num_iter=P(), abs_err=P(), rel_err=P())
+        if self._fsai:
+            from ..models.fsai import FSAISolveInfo
+
+            info_spec = FSAISolveInfo(
+                num_iter=P(), abs_err=P(), rel_err=P(), bracketed=P(),
+            )
+        else:
+            info_spec = SolveInfo(num_iter=P(), abs_err=P(), rel_err=P())
 
         if self.dp_axis is None:
             def global_fn(state0, controls_stacked, prop, times):
@@ -1540,9 +1568,17 @@ class DDIntegrator:
 
         bstate_spec = {k: _addb(s) for k, s in state_spec.items()}
         btraj_spec = {k: _addb(s) for k, s in traj_spec.items()}
-        binfo_spec = SolveInfo(
-            num_iter=P(dp), abs_err=P(dp), rel_err=P(dp)
-        )
+        if self._fsai:
+            from ..models.fsai import FSAISolveInfo
+
+            binfo_spec = FSAISolveInfo(
+                num_iter=P(dp), abs_err=P(dp), rel_err=P(dp),
+                bracketed=P(dp),
+            )
+        else:
+            binfo_spec = SolveInfo(
+                num_iter=P(dp), abs_err=P(dp), rel_err=P(dp)
+            )
 
         def global_fn_b(state0_b, controls_stacked, prop_b, times):
             pad = plan.ndof_pad - plan.ndof
@@ -1636,6 +1672,10 @@ class DDIntegrator:
         state0 = {k: np.asarray(v) for k, v in ini_state.sub_items()}
         controls_stacked = fwd._stack_controls(self.model, controls)
         prop_d = self.model.prop_to_dict(prop)
+        # static half of the FSAI envelope guard, as in forward.integrate
+        check = getattr(self.model, "check_envelope", None)
+        if check is not None:
+            check(prop_d)
         fin_state, traj, infos = self.integrate_pure(
             state0, controls_stacked, prop_d, times
         )

@@ -93,14 +93,13 @@ class TimeSeries(BaseDerivedStateHistoryMeasure):
     When the measure implements ``assem_pure``, the whole series runs as
     one jitted ``vmap`` over the stacked trajectory; otherwise it falls
     back to the per-state loop.
+
+    The wrapped measure is the base class's ``self.func`` (one source of
+    truth — no duplicate alias).
     """
 
-    def __init__(self, measure: BaseStateMeasure):
-        super().__init__(measure)
-        self.measure = measure
-
-    def assem(self, f, ns: Optional[range] = None):
-        return self(f, ns=ns)
+    def __call__(self, f, ns: Optional[range] = None):
+        return self.assem(f, ns=ns)
 
     def _batched(self, f, ns):
         import jax
@@ -128,20 +127,20 @@ class TimeSeries(BaseDerivedStateHistoryMeasure):
         key = tuple(
             (k, prop_d[k].tobytes()) for k in sorted(prop_d)
         )
-        cached = getattr(self.measure, "_series_cache", None)
+        cached = getattr(self.func, "_series_cache", None)
         if cached is not None and cached[0] == key:
             fn = cached[1]
         else:
             fn = jax.jit(
                 jax.vmap(
-                    lambda s, c: self.measure.assem_pure(s, c, prop_d)
+                    lambda s, c: self.func.assem_pure(s, c, prop_d)
                 )
             )
-            self.measure._series_cache = (key, fn)
+            self.func._series_cache = (key, fn)
         out = fn(sstack, cstack)
         return jax.tree_util.tree_map(np.asarray, out)
 
-    def __call__(self, f, ns: Optional[range] = None):
+    def assem(self, f, ns: Optional[range] = None):
         if ns is None:
             ns = range(f.size)
         import jax
@@ -161,7 +160,7 @@ class TimeSeries(BaseDerivedStateHistoryMeasure):
             for n in ns:
                 state = f.get_state(n)
                 control = f.get_control(n)
-                out.append(np.asarray(self.measure(state, control, prop)))
+                out.append(np.asarray(self.func(state, control, prop)))
         return np.array(out)
 
 

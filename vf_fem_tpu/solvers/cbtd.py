@@ -71,9 +71,10 @@ def cbtd_factor(
 
     Dr, Lr, Ur, n_sup, _ = _btd_from_bsb(plan, re_s)
     Di, Li, Ui, _, _ = _btd_from_bsb(plan, im_s)
-    # the identity padding rows installed by _btd_from_bsb live in the
-    # REAL part only; the imaginary pad rows are zero — embedding stays
-    # nonsingular
+    # _btd_from_bsb installs identity pad rows in BOTH parts, so a pad
+    # super-block embeds as [[I, -I], [I, I]] — nonsingular (det 2^b
+    # per pad row), and the pad rhs is zero so pad solutions never
+    # couple back into real dofs
     D = _embed(Dr, Di)
     L = _embed(Lr, Li)
     U = _embed(Ur, Ui)

@@ -96,7 +96,14 @@ def newton_solve(
     # validate the iteration count against an adaptive run.
     n_fixed = params.get("fixed_iterations")
     if n_fixed:
-        if not params.get("fixed_tail_residual", True):
+        # fixed_iterations=1 has no penultimate iterate: a tail-free
+        # fixed-1 would report the INITIAL-guess residual (rel_err 1.0),
+        # tripping certify_fixed_iterations on every step — route it
+        # through the certified path (the tail residual IS the only
+        # meaningful telemetry at n=1)
+        if int(n_fixed) >= 2 and not params.get(
+            "fixed_tail_residual", True
+        ):
             # Tail-free chord: only the n load-bearing residuals are
             # assembled (the first feeds the first update, each next one
             # feeds the next update) — the (n+1)-th, telemetry-only
