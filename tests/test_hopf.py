@@ -57,6 +57,47 @@ def test_ritz_filter_diagnostics():
     np.testing.assert_array_equal(ysel, Y[:, :2][:, order])
 
 
+def test_np_band_matvec_matches_device_and_dense():
+    """The host numpy band-matvec mirror (the INDEPENDENT arithmetic
+    behind the eigenpair certificate) must agree with the device
+    ``bsb_matvec`` and with an explicit dense reconstruction, including
+    complex vectors and the padded tail block."""
+    import jax.numpy as jnp
+
+    from vf_fem_tpu.misc.hopf import _np_band_matvec
+    from vf_fem_tpu.solvers import bsb
+
+    rng = np.random.default_rng(3)
+    b, nblk, h, ndof = 4, 5, 1, 17  # ndof < nblk*b: pad tail exercised
+    nb = 2 * h + 1
+    plan = bsb.BSBPlan(
+        ndof=ndof, b=b, nblk=nblk, nb=nb, h=h,
+        tgt_idx=np.zeros(1, np.int32), src_keep=np.zeros(1, bool),
+        bc_dofs=np.zeros(0, np.int32), diag_ones=np.zeros(0, np.int32),
+    )
+    blocks = rng.standard_normal((nblk, nb, b, b))
+    # dense reconstruction: block-row n couples to block-cols n+m-h
+    npad = nblk * b
+    A = np.zeros((npad, npad))
+    for n in range(nblk):
+        for m in range(nb):
+            c = n + m - h
+            if 0 <= c < nblk:
+                A[n * b:(n + 1) * b, c * b:(c + 1) * b] = blocks[n, m]
+    x = rng.standard_normal(ndof) + 1j * rng.standard_normal(ndof)
+    xpad = np.concatenate([x, np.zeros(npad - ndof, complex)])
+    y_dense = (A @ xpad)[:ndof]
+
+    y_host = _np_band_matvec(plan, blocks, x)
+    np.testing.assert_allclose(y_host, y_dense, rtol=1e-13)
+    y_dev = np.asarray(
+        bsb.bsb_matvec(plan, jnp.asarray(blocks), jnp.asarray(x.real))
+    ) + 1j * np.asarray(
+        bsb.bsb_matvec(plan, jnp.asarray(blocks), jnp.asarray(x.imag))
+    )
+    np.testing.assert_allclose(y_host, y_dev, rtol=1e-12)
+
+
 @pytest.mark.slow
 def test_phonation_onset():
     mesh = vocal_fold_mesh(8, 4)
