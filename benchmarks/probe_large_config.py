@@ -120,6 +120,19 @@ def main():
         ("r128 f3 tail-free", dict(base, jacobian_refresh_steps=128,
                                    fixed_iterations=3,
                                    fixed_tail_residual=False)),
+        # Correction-memory predictor (forward._get_scan_fn): measured on
+        # TPU at 23.7k dofs it is a wash at r96 (479.4 vs 473.3 steps/s,
+        # err 2.9e-7 vs 2.3e-7) and buys r160 at the round-3 error level
+        # (508.3 steps/s, 4.64e-7); kept out of the production config —
+        # the +6% is not worth doubling the trajectory error.
+        ("r96 f3 tf extrap", dict(base, jacobian_refresh_steps=96,
+                                  fixed_iterations=3,
+                                  fixed_tail_residual=False,
+                                  initial_guess="extrapolated")),
+        ("r160 f3 tf extrap", dict(base, jacobian_refresh_steps=160,
+                                   fixed_iterations=3,
+                                   fixed_tail_residual=False,
+                                   initial_guess="extrapolated")),
     ]
     for label, tol in configs:
         tps, fin = rate(tol, label)

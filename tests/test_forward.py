@@ -269,6 +269,56 @@ def test_stale_and_ns_refresh_match_exact(model):
         assert np.all(np.asarray(info.abs_err) < 1e-6)
 
 
+def test_extrapolated_guess_matches_and_grads_agree(model):
+    """``initial_guess='extrapolated'`` (Newmark predictor + the previous
+    step's converged correction carried through the scan) reproduces the
+    default trajectory to solver tolerance — the converged state is
+    guess-independent — on both the plain and the stale-factor scan paths,
+    and the adjoint is unchanged (the IFT bwd rule's guess cotangent is
+    exactly zero, so the carried correction contributes nothing)."""
+    import jax
+    import jax.numpy as jnp
+
+    times = 5e-5 * np.arange(61)
+    ini_state = model.state0.copy()
+    ini_state[:] = 0.0
+    state0 = {k: np.asarray(v) for k, v in ini_state.sub_items()}
+    cs = forward._stack_controls(model, [model.control])
+    prop = model.prop_to_dict(model.prop)
+
+    for base in ({}, {"jacobian_refresh_steps": 8,
+                      "jacobian_refresh_mode": "ns",
+                      "jacobian_full_refresh_windows": 4,
+                      "jacobian_update": "once_per_step"}):
+        fin_a, traj_a, _ = forward.integrate_pure(
+            model, state0, cs, prop, times, dict(base)
+        )
+        fin_b, traj_b, info_b = forward.integrate_pure(
+            model, state0, cs, prop, times,
+            dict(base, initial_guess="extrapolated"),
+        )
+        np.testing.assert_allclose(
+            np.asarray(traj_b["u"]), np.asarray(traj_a["u"]),
+            rtol=1e-8, atol=1e-11,
+        )
+        assert np.all(np.asarray(info_b.abs_err) < 1e-6)
+
+    def loss(prop_d, prm):
+        fin, traj, _ = forward.integrate_pure(
+            model, state0, cs, prop_d, jnp.asarray(times), prm
+        )
+        return jnp.sum(traj["u"][-1] ** 2)
+
+    g_a = jax.grad(loss)(prop, None)
+    g_b = jax.grad(loss)(prop, {"initial_guess": "extrapolated"})
+    for k in ("emod", "psub") if "psub" in g_a else ("emod",):
+        ref = np.abs(np.asarray(g_a[k])).max()
+        np.testing.assert_allclose(
+            np.asarray(g_b[k]), np.asarray(g_a[k]),
+            rtol=1e-9, atol=1e-12 * max(ref, 1.0),
+        )
+
+
 def test_implicit_fsi_stale_matches_exact():
     """Implicit (Picard) coupling with window-frozen solid factors matches
     the per-step-exact implicit integration."""

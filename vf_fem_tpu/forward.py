@@ -71,20 +71,60 @@ def _get_scan_fn(
         and hasattr(model, "step_pure_stale")
     )
 
-    def step(state0, control, prop, dt):
-        state1, info = step_pure(state0, state0, control, prop, dt, params)
+    # Correction-memory predictor (``initial_guess='extrapolated'``): seed
+    # each step's nonlinear solve with Newmark-predictor + the PREVIOUS
+    # step's converged correction (u1 - predictor), carried through the
+    # scan.  On smooth trajectories the correction changes O(dt) per step,
+    # so the seed error drops by ~|delta| / |d delta| — fixed-iteration
+    # chord Newton reaches the same trajectory error with fewer iterations
+    # (or better error at the same count).  Gradient-exact: the converged
+    # state is guess-independent and the IFT bwd rule returns a zero guess
+    # cotangent, so the carried ``delta`` contributes nothing to adjoints.
+    # ``model.factorize``/``refresh_factors`` keep the UN-rewritten params
+    # ('extrapolated' falls through to the plain-predictor branch of
+    # ``_initial_guess``; 'given' would dereference a None guess there).
+    extrap = dict(params).get("initial_guess", "predictor") == "extrapolated"
+    step_params = (
+        tuple(sorted({**dict(params), "initial_guess": "given"}.items()))
+        if extrap
+        else params
+    )
+
+    def step(state1_guess, state0, control, prop, dt):
+        state1, info = step_pure(
+            state1_guess, state0, control, prop, dt, step_params
+        )
         return state1, info
 
     if use_remat:
         step = jax.checkpoint(step)
 
-    def stale_step(state0, factors, control, prop, dt):
+    def stale_step(state1_guess, factors, state0, control, prop, dt):
         return model.step_pure_stale(
-            state0, factors, state0, control, prop, dt, params
+            state1_guess, factors, state0, control, prop, dt, step_params
         )
 
     if use_remat and use_stale:
         stale_step = jax.checkpoint(stale_step)
+
+    def _seed_carry(state):
+        if extrap:
+            return (state, jnp.zeros_like(jnp.asarray(state["u"])))
+        return state
+
+    def _carry_state(carry):
+        return carry[0] if extrap else carry
+
+    def _advance(carry, stepfn, control, prop, dt):
+        """One step from a scan carry; returns (new_carry, (state1, info))."""
+        if extrap:
+            state0, delta = carry
+            pred = state0["u"] + dt * state0["v"] + 0.5 * dt * dt * state0["a"]
+            guess = {**state0, "u": pred + delta}
+            state1, info = stepfn(guess, state0, control, prop, dt)
+            return (state1, state1["u"] - pred), (state1, info)
+        state1, info = stepfn(carry, carry, control, prop, dt)
+        return state1, (state1, info)
 
     def scan_fn(ini_state, controls_stacked, prop, times):
         dts = jnp.diff(times)
@@ -100,13 +140,12 @@ def _get_scan_fn(
 
             def body(carry, xs):
                 dt, n = xs
-                state1, info = step(carry, control_at(n), prop, dt)
-                return state1, (state1, info)
+                return _advance(carry, step, control_at(n), prop, dt)
 
-            fin_state, (traj, infos) = jax.lax.scan(
-                body, ini_state, (dts, jnp.arange(n_steps))
+            fin_carry, (traj, infos) = jax.lax.scan(
+                body, _seed_carry(ini_state), (dts, jnp.arange(n_steps))
             )
-            return fin_state, traj, infos
+            return _carry_state(fin_carry), traj, infos
 
         # Stale-factor path as a nested scan: the Jacobian is factored once
         # at the start of each refresh window (outer scan) and the window's
@@ -128,28 +167,28 @@ def _get_scan_fn(
         )
         full_every = int(params_d.get("jacobian_full_refresh_windows", 8))
 
-        def inner(state, factors, dts_w, n0):
+        def inner(carry0, factors, dts_w, n0):
+            def stepfn(guess, state0, control, prop, dt):
+                return stale_step(guess, factors, state0, control, prop, dt)
+
             def body(carry, xs):
                 dt, n = xs
-                state1, info = stale_step(
-                    carry, factors, control_at(n), prop, dt
-                )
-                return state1, (state1, info)
+                return _advance(carry, stepfn, control_at(n), prop, dt)
 
             return jax.lax.scan(
-                body, state, (dts_w, n0 + jnp.arange(dts_w.shape[0]))
+                body, carry0, (dts_w, n0 + jnp.arange(dts_w.shape[0]))
             )
 
-        def window(state, dts_w, n0):
+        def window(carry0, dts_w, n0):
             factors = model.factorize(
-                state, control_at(n0), prop, dts_w[0], params
+                _carry_state(carry0), control_at(n0), prop, dts_w[0], params
             )
-            return inner(state, factors, dts_w, n0)
+            return inner(carry0, factors, dts_w, n0)
 
         n_win = n_steps // refresh_k
         rem = n_steps - n_win * refresh_k
         trajs, infoss = [], []
-        fin_state = ini_state
+        fin_carry = _seed_carry(ini_state)
         fin_factors = None
         if n_win:
             dts_main = dts[: n_win * refresh_k].reshape(n_win, refresh_k)
@@ -161,7 +200,8 @@ def _get_scan_fn(
                 )
 
                 def outer(carry, xs):
-                    state, factors = carry
+                    inner_carry, factors = carry
+                    state = _carry_state(inner_carry)
                     dts_w, n0, w = xs
                     branch = jnp.where(
                         w == 0, 0, jnp.where(w % full_every == 0, 1, 2)
@@ -179,22 +219,22 @@ def _get_scan_fn(
                             ),
                         ],
                     )
-                    state, out = inner(state, factors, dts_w, n0)
-                    return (state, factors), out
+                    inner_carry, out = inner(inner_carry, factors, dts_w, n0)
+                    return (inner_carry, factors), out
 
-                (fin_state, fin_factors), (traj, infos) = jax.lax.scan(
+                (fin_carry, fin_factors), (traj, infos) = jax.lax.scan(
                     outer,
-                    (fin_state, factors0),
+                    (fin_carry, factors0),
                     (dts_main, n0s, jnp.arange(n_win)),
                 )
             else:
 
-                def outer(state, xs):
+                def outer(carry, xs):
                     dts_w, n0 = xs
-                    return window(state, dts_w, n0)
+                    return window(carry, dts_w, n0)
 
-                fin_state, (traj, infos) = jax.lax.scan(
-                    outer, fin_state, (dts_main, n0s)
+                fin_carry, (traj, infos) = jax.lax.scan(
+                    outer, fin_carry, (dts_main, n0s)
                 )
             # (n_win, refresh_k, ...) -> (n_steps_main, ...)
             flat = lambda a: a.reshape((-1,) + a.shape[2:])
@@ -206,27 +246,27 @@ def _get_scan_fn(
             if use_ns and fin_factors is not None:
                 # window index n_win is static here: pick full vs ns refresh
                 if n_win % full_every == 0:
-                    fin_state, (traj_r, infos_r) = window(
-                        fin_state, dts_rem, n0_rem
+                    fin_carry, (traj_r, infos_r) = window(
+                        fin_carry, dts_rem, n0_rem
                     )
                 else:
                     factors_r = model.refresh_factors(
-                        fin_factors, fin_state, control_at(n0_rem), prop,
-                        dts_rem[0], params,
+                        fin_factors, _carry_state(fin_carry),
+                        control_at(n0_rem), prop, dts_rem[0], params,
                     )
-                    fin_state, (traj_r, infos_r) = inner(
-                        fin_state, factors_r, dts_rem, n0_rem
+                    fin_carry, (traj_r, infos_r) = inner(
+                        fin_carry, factors_r, dts_rem, n0_rem
                     )
             else:
-                fin_state, (traj_r, infos_r) = window(
-                    fin_state, dts_rem, n0_rem
+                fin_carry, (traj_r, infos_r) = window(
+                    fin_carry, dts_rem, n0_rem
                 )
             trajs.append(traj_r)
             infoss.append(infos_r)
         cat = lambda *xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs, 0)
         traj = jax.tree_util.tree_map(cat, *trajs)
         infos = jax.tree_util.tree_map(cat, *infoss)
-        return fin_state, traj, infos
+        return _carry_state(fin_carry), traj, infos
 
     fn = jax.jit(scan_fn)
     cache[key] = fn
