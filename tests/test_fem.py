@@ -263,3 +263,36 @@ def test_rayleigh_mass_damping_identity():
     # unit square: mass = 1
     np.testing.assert_allclose(total[0], 2.5 * 3.0, rtol=1e-12)
     np.testing.assert_allclose(total[1], 0.0, atol=1e-12)
+
+
+@pytest.mark.parametrize(
+    "Residual",
+    [slr.SwellingKelvinVoigt, slr.SwellingPowerLawKelvinVoigtWEpitheliumNoShape],
+)
+def test_swelling_nu_is_live(Residual):
+    """d(residual)/d(nu) != 0 for the swelling hyperelastic forms.
+
+    The reference hardcodes nu=0.45 inside both swelling stress laws while
+    declaring a `nu` property (reference ``form.py:639``) — a known bug
+    (SURVEY §2.12) this package fixes: the declared coefficient must be
+    live.  Checked by forward-difference agreement with jax.grad (Taylor)
+    plus nonzero magnitude."""
+    mesh = mark_unit_mesh_fixtures(unit_square_mesh(3, 3))
+    residual = Residual(mesh)
+    fields = _zero_fields(residual, mesh)
+    fields["prop/emod"] = jnp.full(mesh.num_cells, 3e4)
+    A = 1e-2 * np.array([[1.0, 0.3], [0.2, -0.5]])
+    fields["state/u1"] = jnp.asarray(mesh.coords @ A.T)
+
+    def total_sq(nu):
+        f = dict(fields)
+        f["prop/nu"] = jnp.broadcast_to(nu, fields["prop/nu"].shape)
+        r = residual.assemble_res(f)
+        return jnp.sum(r * r)
+
+    nu0 = jnp.asarray(0.3, dtype=fields["prop/emod"].dtype)
+    g = float(jax.grad(total_sq)(nu0))
+    assert abs(g) > 1e-6 * abs(float(total_sq(nu0)))
+    h = 1e-5
+    g_fd = (float(total_sq(nu0 + h)) - float(total_sq(nu0 - h))) / (2 * h)
+    np.testing.assert_allclose(g, g_fd, rtol=1e-4)

@@ -313,9 +313,13 @@ def test_extrapolated_guess_matches_and_grads_agree(model):
     g_b = jax.grad(loss)(prop, {"initial_guess": "extrapolated"})
     for k in ("emod", "psub") if "psub" in g_a else ("emod",):
         ref = np.abs(np.asarray(g_a[k])).max()
+        # Gradients agree because both runs converge well past the Newton
+        # tolerance (quadratic convergence) and the IFT guess cotangent
+        # is exactly zero; rtol matches the solver-tolerance level rather
+        # than assuming convergence margin beyond it.
         np.testing.assert_allclose(
             np.asarray(g_b[k]), np.asarray(g_a[k]),
-            rtol=1e-9, atol=1e-12 * max(ref, 1.0),
+            rtol=1e-8, atol=1e-12 * max(ref, 1.0),
         )
 
 

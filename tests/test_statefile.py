@@ -126,3 +126,51 @@ def test_window_append_equals_rows(model, tmp_path):
     with h5py.File(p_rows, "r") as a, h5py.File(p_win, "r") as b:
         for key in ("state/u", "state/v", "state/a", "time"):
             np.testing.assert_array_equal(a[key][()], b[key][()])
+
+
+def test_schema_matches_reference_layout(model, tmp_path):
+    """Every dataset in the reference's declared layout exists.
+
+    Reference ``statefile.py:27-58`` declares the layout:
+    /mesh/solid/{coordinates,connectivity}, /dofmap/{scalar,vector},
+    /state/*, /control/*, /properties/*, /meas_indices, /time (plus the
+    cell-dofs array the reference code actually writes as /dofmap/CG1,
+    ``statefile.py:212-218``).  A consumer of reference files must find
+    them all here."""
+    path = str(tmp_path / "schema.h5")
+    with sf.StateFile(model, path, mode="w") as f:
+        f.init_layout()
+        f.append_state(model.state0)
+        f.append_control(model.control)
+        f.append_time(0.0)
+        f.append_prop(model.prop)
+        f.append_solver_info({"num_iter": 1, "abs_err": 0.0, "rel_err": 0.0})
+
+    import h5py
+
+    mesh = model.residual.mesh()
+    with h5py.File(path, "r") as h5:
+        for name in (
+            "time",
+            "meas_indices",
+            "mesh/solid/coordinates",
+            "mesh/solid/connectivity",
+            "dofmap/CG1",
+            "dofmap/scalar",
+            "dofmap/vector",
+        ):
+            assert name in h5, f"missing reference-layout dataset {name}"
+        for key in model.state0.keys():
+            assert f"state/{key}" in h5
+        for key in model.control.keys():
+            assert f"control/{key}" in h5
+        for key in model.prop.keys():
+            assert f"properties/{key}" in h5
+        # scalar cell dofs are the connectivity rows; vector dofs are
+        # vertex-major interleaved (dof = vertex*dim + comp)
+        cells = np.asarray(h5["mesh/solid/connectivity"][()])
+        np.testing.assert_array_equal(h5["dofmap/scalar"][()], cells)
+        vec = np.asarray(h5["dofmap/vector"][()])
+        assert vec.shape == (cells.shape[0], cells.shape[1] * mesh.dim)
+        np.testing.assert_array_equal(vec[:, 0], cells[:, 0] * mesh.dim)
+        np.testing.assert_array_equal(vec[:, 1], cells[:, 0] * mesh.dim + 1)

@@ -8,6 +8,16 @@ arithmetic so they trace under jit/vmap/grad.  Defaults gamma=1/2, beta=1/4
 """
 
 
+def newmark_predict_u(u0, v0, a0, dt):
+    """Explicit Newmark predictor u0 + dt*v0 + dt^2/2 * a0.
+
+    The canonical starting guess for the implicit displacement solve;
+    shared by the per-step solver (``models/transient.py``) and the
+    correction-memory seed in ``forward._advance`` so the two can never
+    drift apart."""
+    return u0 + dt * v0 + 0.5 * dt * dt * a0
+
+
 def newmark_v(u, u0, v0, a0, dt, gamma=1 / 2, beta=1 / 4):
     """Velocity update (reference: ``newmark.py:8-29``)."""
     return (

@@ -338,7 +338,14 @@ class IsotropicElasticSwellingForm(BaseForm):
         v, m = local["prop/v_swelling"], local["prop/m_swelling"]
         E_v = v ** (-2 / 3) * E + 0.5 * (v ** (-2 / 3) - 1.0) * I3
         mhat = m * (v - 1.0) + 1.0
-        S = mhat * v ** (1 / 3) * stress_isotropic(E_v, local["prop/emod"], 0.45)
+        # NOTE: the reference hardcodes nu=0.45 here while declaring a
+        # `nu` property (reference ``form.py:639``) — a known bug SURVEY
+        # §2.12 says NOT to replicate; we honor the declared coefficient.
+        S = (
+            mhat
+            * v ** (1 / 3)
+            * stress_isotropic(E_v, local["prop/emod"], local["prop/nu"])
+        )
         return S, def_grad(grad_u)
 
     def cell_kernel(self, geom, local):
@@ -364,7 +371,13 @@ class IsotropicElasticSwellingPowerLawForm(BaseForm):
         v, m = local["prop/v_swelling"], local["prop/m_swelling"]
         E_v = v ** (-2 / 3) * E + 0.5 * (v ** (-2 / 3) - 1.0) * I3
         mbar_v = v**m
-        S = mbar_v * v ** (1 / 3) * stress_isotropic(E_v, local["prop/emod"], 0.45)
+        # honor the declared `prop/nu` (the reference hardcodes 0.45;
+        # see IsotropicElasticSwellingForm.pk2 note / SURVEY §2.12)
+        S = (
+            mbar_v
+            * v ** (1 / 3)
+            * stress_isotropic(E_v, local["prop/emod"], local["prop/nu"])
+        )
         return S, def_grad(grad_u)
 
     def cell_kernel(self, geom, local):

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from . import blocks as bv
 from . import statefile as sf
+from .equations import newmark
 from .models.transient import BaseTransientModel, _params_key
 
 Options = dict
@@ -109,7 +110,10 @@ def _get_scan_fn(
 
     def _seed_carry(state):
         if extrap:
-            return (state, jnp.zeros_like(jnp.asarray(state["u"])))
+            # derive the zero delta from the operand (never a fresh
+            # jnp.zeros constant): under shard_map, scan carries must
+            # carry the operands' varying-axes type (round-3 VMA rule)
+            return (state, 0.0 * jnp.asarray(state["u"]))
         return state
 
     def _carry_state(carry):
@@ -119,7 +123,9 @@ def _get_scan_fn(
         """One step from a scan carry; returns (new_carry, (state1, info))."""
         if extrap:
             state0, delta = carry
-            pred = state0["u"] + dt * state0["v"] + 0.5 * dt * dt * state0["a"]
+            pred = newmark.newmark_predict_u(
+                state0["u"], state0["v"], state0["a"], dt
+            )
             guess = {**state0, "u": pred + delta}
             state1, info = stepfn(guess, state0, control, prop, dt)
             return (state1, state1["u"] - pred), (state1, info)

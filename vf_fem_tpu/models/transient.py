@@ -780,8 +780,8 @@ class SolidModel(BaseTransientModel):
             saves Newton iterations."""
             if dict(params).get("initial_guess", "predictor") == "given":
                 return state1_guess["u"]
-            return (
-                state0["u"] + dt * state0["v"] + 0.5 * dt**2 * state0["a"]
+            return newmark.newmark_predict_u(
+                state0["u"], state0["v"], state0["a"], dt
             )
 
         def solve_state1_pure(state1_guess, state0, control, prop, dt,

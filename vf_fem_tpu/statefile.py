@@ -148,6 +148,18 @@ class StateFile:
         dg.create_dataset(
             "CG1", data=np.arange(mesh.num_vertices, dtype=np.int64)
         )
+        # Reference layout also records per-cell scalar and vector dofmaps
+        # (reference ``statefile.py:33-35`` declares /dofmap/scalar and
+        # /dofmap/vector; ``:212-218`` stores cell_dofs rows).  With this
+        # package's vertex-major interleaved ordering the scalar cell dofs
+        # ARE the connectivity rows, and vector dof = vertex*dim + comp.
+        cells = np.asarray(mesh.cells, dtype=np.int64)
+        dg.create_dataset("scalar", data=cells)
+        vec = (
+            cells[:, :, None] * mesh.dim
+            + np.arange(mesh.dim, dtype=np.int64)[None, None, :]
+        ).reshape(cells.shape[0], -1)
+        dg.create_dataset("vector", data=vec)
 
     def _init_group_like(self, name: str, bvec: bv.BlockVector):
         g = self.root_group.require_group(name)
