@@ -251,11 +251,13 @@ def test_banded_hopf_f32_factors_certified():
         factor_dtype="float32",
     )
     assert info32r["refine"] > 0
-    # cert floor with refinement: the solve error is gone (measured
-    # contraction 1.4e-4/pass) — what remains is the f32 rounding of
-    # the action INPUTS/B-multiply amplified by pencil conditioning
-    # (~1.6e-4 worst mode here, vs ~1e-2 unrefined)
-    assert np.all(info32r["res_rel"] < 5e-4), info32r["res_rel"]
+    # cert floor with refinement + host-f64 rhs: both the solve error
+    # (contraction 1.4e-4/pass) AND the rhs rounding are gone — what
+    # remains is Arnoldi convergence of the weaker modes (measured
+    # 4.6e-7 max / 2.4e-9 best at refine=2; refine=3 gains nothing,
+    # vs 1.6e-4 when the rhs was computed on-device in f32)
+    assert np.all(info32r["res_rel"] < 2e-6), info32r["res_rel"]
+    assert info32r["res_rel"].min() < 1e-7, info32r["res_rel"]
     # the least-damped mode itself is f64-grade (measured 8e-8 on
     # growth, 2.4e-7 on frequency)
     s32r, f32r_ = growth_rate_and_frequency(eigs32r)

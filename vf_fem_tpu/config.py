@@ -49,6 +49,15 @@ jax.config.update("jax_default_matmul_precision", _PRECISION)
 # CPU — slow, for testing); '0' disables.
 BANDED_ASSEMBLY: str = os.environ.get("VF_FEM_TPU_BANDED", "auto")
 
+# Cells per Pallas grid step in the banded assembly plan (multiple of
+# 128).  The gather/scatter kernels pay a fixed per-grid-step latency
+# (~1-2 us), so larger groups amortize it; larger groups also widen the
+# vertex window (more one-hot MXU flops).  Roofline probe at 23.7k dofs
+# (round 5, same session): gc=128 gather 0.195 ms / scatter 0.106 ms,
+# gc=256 0.126/0.085, gc=512 0.170/0.100 — 256 is the measured optimum
+# (same window w=384 as 128, half the grid steps).
+BANDED_GC: int = int(os.environ.get("VF_FEM_TPU_BANDED_GC", "256"))
+
 
 def real_dtype():
     """Return the working real dtype."""

@@ -208,6 +208,29 @@ def _np_band_matvec(plan, blocks, x):
     return y.reshape(-1)[:ndof]
 
 
+def _np_band_matmat(plan, blocks, X):
+    """Multi-vector host band matvec: ``X`` is (ndof, k) real; returns
+    (ndof, k).  One einsum per call — the (large) block array is read
+    once for all k columns, so stacking an action's real/imag parts and
+    several operand vectors costs barely more than one matvec."""
+    b, h, nb, nblk, ndof = plan.b, plan.h, plan.nb, plan.nblk, plan.ndof
+    k = X.shape[1]
+    pad_tail = nblk * b - ndof
+    xpad = np.concatenate([
+        np.zeros((h * b, k), dtype=X.dtype), X,
+        np.zeros((h * b + pad_tail, k), dtype=X.dtype),
+    ])
+    wins = np.stack(
+        [
+            xpad[m * b: m * b + nblk * b].reshape(nblk, b, k)
+            for m in range(nb)
+        ],
+        axis=1,
+    )  # (nblk, nb, b, k)
+    y = np.einsum("nmij,nmjk->nik", blocks, wins)
+    return y.reshape(-1, k)[:ndof]
+
+
 def linear_stability_banded(
     transient_model,
     dyn_model,
@@ -232,17 +255,22 @@ def linear_stability_banded(
     near the expected onset frequency; onset tracking sweeps psub and
     watches ``Re(lambda)`` cross zero.
 
-    Device offload (round 4): the complex banded factorization, the
-    batched ``W = Kz^{-1} U_w`` coupling solves, and the WHOLE per-step
-    shift-invert action (4 band matvecs + complex block-Thomas solve +
-    Woodbury correction, fused into ONE jitted call) run on ``device``
-    — by default the session's default accelerator, i.e. the TPU under
-    a TPU backend.  Only the Krylov recurrence (modified Gram–Schmidt
-    on the ~``arnoldi_m`` basis vectors) stays on the host in
-    complex128.  On TPU the factors are float32 (no f64 LU on device);
-    the returned eigenpairs carry an independent host-side residual
-    certificate computed against the blocks as assembled
-    (``info['res_rel']``), so f32-factor runs are self-validating.
+    Device offload (round 4/5): the complex banded factorization, the
+    batched ``W = Kz^{-1} U_w`` coupling solves, and the per-step
+    coupled solve (complex block-Thomas + Woodbury correction, ONE
+    jitted call per refinement pass) run on ``device`` — by default the
+    session's default accelerator, i.e. the TPU under a TPU backend.
+    The action's rhs ``b = B x`` (after v/fluid elimination), the
+    refinement residuals, and the Krylov recurrence (modified
+    Gram–Schmidt on the ~``arnoldi_m`` basis vectors) stay on the host
+    in float64/complex128: computing ``b`` in the factor dtype would
+    perturb the pencil at that dtype's rounding level, which the
+    shifted pencil's conditioning amplifies to ~1e-4..1e-5 eigenpair
+    backward error — the round-4 certificate floor.  On TPU the factors
+    are float32 (no f64 LU on device); the returned eigenpairs carry an
+    independent host-side residual certificate computed against the
+    blocks as assembled (``info['res_rel']``), so f32-factor runs are
+    self-validating.
 
     Parameters
     ----------
@@ -259,16 +287,19 @@ def linear_stability_banded(
         working-dtype residual stalls near its rounding floor),
         correction through the same device factors.  Measured
         contraction ~1.4e-4 per pass from the ~10% raw f32 solve
-        error: refine=1 reaches ~3e-5 solve accuracy, refine=2 ~4e-9.
-        Costs one extra device call + 4 host band matvecs per pass.
-        Default: 0 for f64 factors, 1 for f32.
+        error: refine=1 reaches ~3e-5 solve accuracy, refine=2 ~4e-9
+        (the rhs is host-f64, so refinement is not floored by an f32
+        rhs).  Costs one extra device call + 4 host band matvecs per
+        pass.  Default: 0 for f64 factors, 2 for f32.
     cert_tol:
         eigenpair-residual gate: Ritz pairs whose independent host-side
         certificate exceeds this are DROPPED (with a warning) before
         the ``n_modes`` truncation.  Inexact f32 shift-invert actions
         can produce Arnoldi-converged but spurious pairs (the internal
         Ritz filter cannot see solve error); the certificate can.
-        Default: 1e-5 for f64 factors, 2e-3 for f32.
+        Default: 1e-5 for f64 factors and for refined (refine>=2) f32
+        runs (the host-f64 rhs makes refined f32 actions certify at the
+        f64 Arnoldi level); 1e-4 at refine=1; 2e-3 unrefined.
     return_info:
         also return a dict with the per-mode eigenpair residual
         certificate ``res_rel`` (``||(A + lam B) x|| / scale``, host
@@ -281,7 +312,7 @@ def linear_stability_banded(
     import jax
     import jax.numpy as jnp
 
-    from ..solvers import bsb as bsb_mod, cbtd
+    from ..solvers import cbtd
 
     if sigma is None:
         sigma = 1j * 2.0 * np.pi * 150.0
@@ -376,20 +407,16 @@ def linear_stability_banded(
     ScapI = np.linalg.inv(Scap)
 
     P = dict(
-        Mb=put(Mb),
-        DsM=put(Db + sr * Mb),
-        siM=put(si * Mb),
         Gc=put(G_cols),
         ScapIr=put(ScapI.real),
         ScapIi=put(ScapI.imag),
         Wr=WrT,
         Wi=WiT,
-        bcmask=put(bcmask),
         ydofs=jax.device_put(np.asarray(ydofs, dtype=np.int32), device),
     )
 
     if refine is None:
-        refine = 0 if wp == np.float64 else 1
+        refine = 0 if wp == np.float64 else 2
 
     def _solve_coupled(fac, p, b_r, b_i):
         """(Kz - U_w G~)^{-1} b: block-Thomas + rank-nf Woodbury."""
@@ -402,66 +429,59 @@ def linear_stability_banded(
         u_i = y0i + s_i @ p["Wr"] + s_r @ p["Wi"]
         return u_r, u_i
 
-    def _action0(fac, p, xin):
-        """x -> initial (A + sigma B)^{-1} B x solve, complex (re, im).
-
-        ONE fused device program per Arnoldi step: B-multiply (band M),
-        v/fluid elimination (band D + sigma M), complex block-Thomas
-        solve, rank-nf Woodbury FSI correction.  Returns the coupled
-        solve iterate u AND its rhs b (for host-side refinement).
-        """
-        xu_r, xu_i, xv_r, xv_i = xin.reshape(4, -1)
-        mv = lambda B, z: bsb_mod.bsb_matvec(plan, B, z)
-        # r = B x: u-row M xv; v-row -(bcmask xu); fluid 0
-        ru_r, ru_i = mv(p["Mb"], xv_r), mv(p["Mb"], xv_i)
-        rv_r = -(p["bcmask"] * xu_r)
-        rv_i = -(p["bcmask"] * xu_i)
-        # b = ru - (D + sigma M) rv   [complex]
-        b_r = ru_r - (mv(p["DsM"], rv_r) - mv(p["siM"], rv_i))
-        b_i = ru_i - (mv(p["DsM"], rv_i) + mv(p["siM"], rv_r))
-        u_r, u_i = _solve_coupled(fac, p, b_r, b_i)
-        return jnp.concatenate([u_r, u_i, b_r, b_i])
-
     def _correct(fac, p, rin):
-        """One refinement correction: (Kz - U_w G~)^{-1} r."""
+        """One preconditioner application: (Kz - U_w G~)^{-1} r."""
         r_r, r_i = rin.reshape(2, -1)
         du_r, du_i = _solve_coupled(fac, p, r_r, r_i)
         return jnp.concatenate([du_r, du_i])
 
-    action0 = jax.jit(_action0)
     correct = jax.jit(_correct)
+
+    # Host blocks for the f64 rhs/residual.  The action's rhs b = B x
+    # (after v/fluid elimination) must be computed ABOVE the factor
+    # dtype: a device-f32 b perturbs the pencil at the f32 rounding
+    # level, which the shifted pencil's conditioning amplifies to a
+    # ~1e-4..1e-5 eigenpair backward error — the round-4 cert floor
+    # (5.5e-5 at 23.7k dofs) that no amount of refinement against that
+    # b could beat.  With a host-f64 b the device solve is a pure
+    # preconditioner and refinement contracts to the f64 floor.
+    DsM_h = Db + sr * Mb
 
     def op(x):
         xu, xv = x[:ndof], x[ndof:2 * ndof]
-        xin = np.concatenate([
-            xu.real, xu.imag, xv.real, xv.imag,
-        ]).astype(wp)
-        out0 = np.asarray(action0(facz, P, xin)).astype(np.float64)
-        u = out0[:ndof] + 1j * out0[ndof:2 * ndof]
-        b = out0[2 * ndof:3 * ndof] + 1j * out0[3 * ndof:]
-        # Iterative refinement with a HOST float64 residual.  The f32
-        # factor solve error is O(10%) at this conditioning, and a
-        # residual computed in the working dtype STALLS near 3e-2: the
-        # coupled residual b - Kz u + U_w (G u_y) cancels ~5 orders, so
-        # its f32 rounding floor is above the refinement target.  In
-        # f64 (against the blocks as assembled) each pass contracts the
-        # solve error ~1.4e-4x (measured; Woodbury W error does not
-        # limit the rate): refine=1 reaches ~3e-5, refine=2 ~4e-9 of
-        # the rhs.
-        for _ in range(refine):
-            Ku = (
-                _np_band_matvec(plan, blocks_re, u.real)
-                - _np_band_matvec(plan, blocks_im, u.imag)
-            ) + 1j * (
-                _np_band_matvec(plan, blocks_re, u.imag)
-                + _np_band_matvec(plan, blocks_im, u.real)
-            )
-            r = b - Ku + U_w @ (G_cols @ u[ydofs])
+        rv = -(bcmask * xu)
+        # b = M xv - (D + sigma M) rv  [complex, host f64; one einsum
+        # per block array via the multi-vector matvec]
+        colsM = np.stack([xv.real, xv.imag, rv.real, rv.imag], axis=1)
+        mvM = _np_band_matmat(plan, Mb, colsM)
+        mvD = _np_band_matmat(plan, DsM_h, colsM[:, 2:])
+        ru = mvM[:, 0] + 1j * mvM[:, 1]
+        Mrv = mvM[:, 2] + 1j * mvM[:, 3]
+        Drv = mvD[:, 0] + 1j * mvD[:, 1]
+        b = ru - (Drv + 1j * si * Mrv)
+        # Initial f32 preconditioner solve + host-f64 iterative
+        # refinement.  The f32 factor solve error is O(10%) at this
+        # conditioning, and a residual computed in the working dtype
+        # STALLS near 3e-2: the coupled residual b - Kz u + U_w (G u_y)
+        # cancels ~5 orders, so its f32 rounding floor is above the
+        # refinement target.  In f64 (against the blocks as assembled)
+        # each pass contracts the solve error ~1.4e-4x (measured; the
+        # Woodbury W error does not limit the rate): refine=1 reaches
+        # ~3e-5, refine=2 ~1e-8-grade actions.
+        u = np.zeros(ndof, dtype=complex)
+        r = b
+        for k in range(refine + 1):
             rin = np.concatenate([r.real, r.imag]).astype(wp)
             d = np.asarray(correct(facz, P, rin)).astype(np.float64)
             u = u + d[:ndof] + 1j * d[ndof:]
+            if k == refine:
+                break
+            cols = np.stack([u.real, u.imag], axis=1)
+            Kr = _np_band_matmat(plan, blocks_re, cols)
+            Ki = _np_band_matmat(plan, blocks_im, cols)
+            Ku = (Kr[:, 0] - Ki[:, 1]) + 1j * (Kr[:, 1] + Ki[:, 0])
+            r = b - Ku + U_w @ (G_cols @ u[ydofs])
         # back-substitution (host, f64): v then the fluid block
-        rv = -(bcmask * xu)
         v = rv + sigma * (bcmask * u)
         f = -(FfI @ (G_cols @ u[ydofs]))
         return np.concatenate([u, v, f])
@@ -534,7 +554,18 @@ def linear_stability_banded(
     # and cannot see inexact-solve error; with f32 factors such pairs DO
     # occur and can out-rank genuine modes in Re(lam))
     if cert_tol is None:
-        cert_tol = 1e-5 if wp == np.float64 else 2e-3
+        # With the host-f64 rhs + refinement, f32-factor runs certify at
+        # the f64 Arnoldi-convergence level (measured: refine=2 max cert
+        # 4.6e-7, best 2.4e-9 on the small test pencil; refine=3 gains
+        # nothing -> the floor is Ritz convergence, not the factors), so
+        # the gate matches the f64 default.  Unrefined f32 actions leave
+        # genuine modes near ~5e-4; keep the loose historical gate there.
+        if wp == np.float64 or refine >= 2:
+            cert_tol = 1e-5
+        elif refine == 1:
+            cert_tol = 1e-4
+        else:
+            cert_tol = 2e-3
     n_conv_ritz = len(lam)  # converged Ritz pairs, BEFORE cert gating
     keep = res_rel < cert_tol
     if not np.any(keep):

@@ -232,10 +232,13 @@ class FemResidual:
         """Lazy banded-assembly plan (requires a bandwidth-ordered mesh —
         ``mesh.reorder.rcm_mesh``; raises AssertionError otherwise)."""
         if getattr(self, "_banded_plan", None) is None:
+            from .. import config
             from ..fem import banded
 
             self._banded_plan = banded.plan_banded(
-                np.asarray(self.topology.cells), self._mesh.num_vertices
+                np.asarray(self.topology.cells),
+                self._mesh.num_vertices,
+                gc=config.BANDED_GC,
             )
         return self._banded_plan
 
