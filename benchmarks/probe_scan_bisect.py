@@ -121,11 +121,13 @@ def main():
     def mk_s2(L, prm):
         factors = m.factorize(state0, fctrl, pd, DT, prm)
 
+        cs_j = jax.tree_util.tree_map(jnp.asarray, cs)
+
         @jax.jit
         def run(st0):
             def body(st, n):
                 c = jax.tree_util.tree_map(
-                    lambda a: a[jnp.minimum(n, a.shape[0] - 1)], cs
+                    lambda a: a[jnp.minimum(n, a.shape[0] - 1)], cs_j
                 )
                 st1, info = m.step_pure_stale(
                     st, factors, st, c, pd, DT, prm

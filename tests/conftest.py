@@ -31,3 +31,24 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+# Markers: `slow` (measured >=10 s call time on the 1-core CI box, from
+# tests/_slow_ids.py — except golden physics regressions, always fast-set)
+# and `multichip` (exercises the 8-virtual-device mesh / shard_map).
+# `pytest -m "not slow"` is the ~8-min smoke set covering golden physics
+# plus at least one test per subsystem; the full suite is the merge gate.
+_MULTICHIP_MODULES = ("test_ddstep.py", "test_parallel.py")
+
+
+def pytest_collection_modifyitems(config, items):
+    try:
+        from _slow_ids import SLOW
+    except ImportError:
+        SLOW = {}
+    for item in items:
+        rel = item.nodeid.split("tests/")[-1]
+        if rel in SLOW:
+            item.add_marker(pytest.mark.slow)
+        if rel.split("::")[0] in _MULTICHIP_MODULES:
+            item.add_marker(pytest.mark.multichip)
