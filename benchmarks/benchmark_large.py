@@ -156,31 +156,36 @@ def main():
     print(f"bf16-vs-f32 trajectory max|du| = {du:.3e};"
           f" speedup {tps_b16 / tps_btd:.2f}x")
 
-    # round-4 production config (bench.py large leg): longer refresh
-    # window + tail-free fixed-3 chord (fixed_tail_residual=False skips
-    # the trailing telemetry-only residual, ~1/4 of the step) — measured
-    # 480.8 vs 349.4 steps/s device-slope at 23.7k dofs with BETTER
-    # trajectory error (2.3e-7 vs 4.6e-7; probe_large_config.py)
+    # round-4 config (btd form): longer refresh window + tail-free
+    # fixed-3 chord (fixed_tail_residual=False skips the trailing
+    # telemetry-only residual, ~1/4 of the step) — measured 480.8 vs
+    # 349.4 steps/s device-slope at 23.7k dofs with BETTER trajectory
+    # error (2.3e-7 vs 4.6e-7; probe_large_config.py)
     prod_tol = dict(
         btd16_tol, jacobian_refresh_steps=96, fixed_tail_residual=False
     )
     tps_pr, fin_pr = run(
-        model, prod_tol, args.steps, "btd bf16 r96 tail-free (production)"
+        model, prod_tol, args.steps, "btd bf16 r96 tail-free"
     )
     du = np.abs(np.asarray(fin_pr["u"]) - np.asarray(fin_b16["u"])).max()
     print(f"prod-vs-btd16 trajectory max|du| = {du:.3e};"
           f" speedup {tps_pr / tps_b16:.2f}x")
 
-    # SPIKE-partitioned factorization: n_sup/S batched factor steps
-    # instead of n_sup sequential ones (single-chip form of the
-    # distributed solver; solve does ~1.5x the HBM traffic)
-    spike_tol = dict(btd16_tol, linear_solver="spike", spike_partitions=8)
+    # SPIKE-partitioned solves: the block-Thomas chain is latency-bound
+    # (n_sup sequential block rows); 8 slabs cut the depth to ~n_sup/8
+    # + a batched reduced system.  Round-5 production config (bench.py
+    # large leg): 567.4 vs 509.6 steps/s same-session at 23.7k dofs
+    # (probe_spike_prod.py, trajectory-gated vs exact Jacobian)
+    spike_tol = dict(
+        prod_tol, linear_solver="spike", spike_partitions=8
+    )
     tps_sp, fin_sp = run(
-        model, spike_tol, args.steps, "spike direct (8 slabs, bf16)"
+        model, spike_tol, args.steps,
+        "spike8 bf16 r96 tail-free (production)"
     )
     du = np.abs(np.asarray(fin_sp["u"]) - np.asarray(fin_b16["u"])).max()
-    print(f"spike-vs-btd trajectory max|du| = {du:.3e};"
-          f" speedup {tps_sp / tps_b16:.2f}x")
+    print(f"spike-vs-btd16 trajectory max|du| = {du:.3e};"
+          f" speedup {tps_sp / tps_pr:.2f}x")
 
     # PCR: log-depth solve — ~2 log2(n_sup) batched MXU matmuls instead
     # of the 2 n_sup-step serial Thomas scans.  Measured round-4 (slope

@@ -36,6 +36,18 @@ def main():
     parser.add_argument("--h", type=float, default=0.006)
     parser.add_argument("--lo", type=int, default=100)
     parser.add_argument("--hi", type=int, default=400)
+    parser.add_argument(
+        "--spikes", type=str, default="8,16",
+        help="comma list of SPIKE partition counts to A/B",
+    )
+    parser.add_argument(
+        "--refresh", type=str, default="",
+        help="extra legs: comma list of S:refresh pairs, e.g. 8:128",
+    )
+    parser.add_argument(
+        "--no-btd", action="store_true",
+        help="skip the btd baseline leg (already measured this session)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -98,20 +110,23 @@ def main():
         print(f"{tag:22s} {tps:7.1f} steps/s ({1e3/tps:6.3f} ms/step)"
               f"  traj err {err:.2e}", flush=True)
 
-    leg("btd bf16", {**BASE_TOL, "linear_solver": "btd"})
-    for S in (8, 16):
+    if not args.no_btd:
+        leg("btd bf16", {**BASE_TOL, "linear_solver": "btd"})
+    for S in (int(s) for s in args.spikes.split(",") if s):
         leg(
             f"spike{S} bf16",
             {**BASE_TOL, "linear_solver": "spike",
              "spike_partitions": S},
         )
-    # wider refresh window with spike16 (factor is pricier; check the
+    # wider refresh windows (factor is pricier than btd; check the
     # amortization trade at the bf16-factor staleness limit ~100 steps)
-    leg(
-        "spike16 bf16 r128",
-        {**BASE_TOL, "linear_solver": "spike", "spike_partitions": 16,
-         "jacobian_refresh_steps": 128},
-    )
+    for pair in (p for p in args.refresh.split(",") if p):
+        S, r = (int(x) for x in pair.split(":"))
+        leg(
+            f"spike{S} bf16 r{r}",
+            {**BASE_TOL, "linear_solver": "spike", "spike_partitions": S,
+             "jacobian_refresh_steps": r},
+        )
 
 
 if __name__ == "__main__":
