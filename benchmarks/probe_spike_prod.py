@@ -48,6 +48,15 @@ def main():
         "--no-btd", action="store_true",
         help="skip the btd baseline leg (already measured this session)",
     )
+    parser.add_argument(
+        "--offdiag", type=str, default="",
+        help="extra btd legs with fp8 off-diagonal factor storage:"
+        " comma list of dtypes, e.g. float8_e4m3fn",
+    )
+    parser.add_argument(
+        "--spike-offdiag", type=str, default="",
+        help="extra spike legs S:dtype, e.g. 8:float8_e4m3fn",
+    )
     args = parser.parse_args()
 
     import jax
@@ -126,6 +135,19 @@ def main():
             f"spike{S} bf16 r{r}",
             {**BASE_TOL, "linear_solver": "spike", "spike_partitions": S,
              "jacobian_refresh_steps": r},
+        )
+    for od in (o for o in args.offdiag.split(",") if o):
+        leg(
+            f"btd bf16/{od[-6:]}",
+            {**BASE_TOL, "linear_solver": "btd",
+             "btd_offdiag_dtype": od},
+        )
+    for pair in (p for p in args.spike_offdiag.split(",") if p):
+        S, od = pair.split(":")
+        leg(
+            f"spike{S} bf16/{od[-6:]}",
+            {**BASE_TOL, "linear_solver": "spike",
+             "spike_partitions": int(S), "btd_offdiag_dtype": od},
         )
 
 

@@ -230,6 +230,40 @@ def test_btd_direct_solve_and_trajectory():
     rel1 = np.linalg.norm(x16b - xr) / np.linalg.norm(xr)
     assert rel1 < 0.3 * rel0
 
+    # fp8-stored factors: byte-wide streaming; cast is clamped to the
+    # format's finite range and the matvec upconverts the BLOCK (never
+    # quantizes the vector).  Solve error stays preconditioner-grade
+    # (contracts under refinement) for both fp8 formats.
+    for sd, tol0 in (("float8_e4m3fn", 0.3), ("float8_e5m2", 0.1)):
+        fac8 = btd.btd_factor(plan, blocks, store_dtype=sd)
+        assert np.isfinite(np.asarray(fac8.Sinv, dtype=np.float32)).all()
+        x8 = np.asarray(btd.btd_solve(plan, fac8, r))
+        rel8 = np.linalg.norm(x8 - xr) / np.linalg.norm(xr)
+        assert rel8 < tol0, (sd, rel8)
+        resid8 = np.asarray(r) - A @ x8
+        x8b = x8 + np.asarray(
+            btd.btd_solve(plan, fac8, jnp.asarray(resid8))
+        )
+        rel8b = np.linalg.norm(x8b - xr) / np.linalg.norm(xr)
+        assert rel8b < 0.5 * rel8, (sd, rel8, rel8b)
+        # transposed solve shares the fp8 block-upconvert path
+        xt8 = np.asarray(btd.btd_solve_t(plan, fac8, r))
+        relT8 = np.linalg.norm(xt8 - xt_ref) / np.linalg.norm(xt_ref)
+        assert relT8 < tol0, (sd, relT8)
+
+    # mixed storage: bf16 Sinv + fp8 off-diagonal products (V/W are the
+    # only arrays streamed in the solve's serial scans) stays within a
+    # small factor of all-bf16 solve error — the production fp8 config
+    facm = btd.btd_factor(
+        plan, blocks, store_dtype="bfloat16",
+        offdiag_dtype="float8_e4m3fn",
+    )
+    assert facm.Sinv.dtype == jnp.bfloat16
+    assert facm.V.dtype.itemsize == 1 and facm.W.dtype.itemsize == 1
+    xm = np.asarray(btd.btd_solve(plan, facm, r))
+    relm = np.linalg.norm(xm - xr) / np.linalg.norm(xr)
+    assert relm < 10 * max(rel0, 1e-4), (relm, rel0)
+
     # trajectory through the stale integrator
     state0 = {k: np.zeros_like(np.asarray(v))
               for k, v in model.state0.sub_items()}

@@ -512,6 +512,7 @@ class SolidModel(BaseTransientModel):
                     get_bsb_plan(), blocks,
                     store_dtype=params_d.get("btd_store_dtype"),
                     factor_dtype=params_d.get("btd_factor_dtype"),
+                    offdiag_dtype=params_d.get("btd_offdiag_dtype"),
                 )
             if ls == "spike":
                 from ..solvers import bsb as bsb_mod, spike as spike_mod
@@ -524,6 +525,7 @@ class SolidModel(BaseTransientModel):
                     n_parts=int(params_d.get("spike_partitions", 8)),
                     store_dtype=params_d.get("btd_store_dtype"),
                     factor_dtype=params_d.get("btd_factor_dtype"),
+                    offdiag_dtype=params_d.get("btd_offdiag_dtype"),
                 )
             if ls == "pcr":
                 from ..solvers import bsb as bsb_mod, pcr as pcr_mod
@@ -696,6 +698,7 @@ class SolidModel(BaseTransientModel):
             # the adjoint is ONE uncorrected transposed solve: always use
             # full-precision factors, whatever the primal's bf16 storage
             params_d.pop("btd_store_dtype", None)
+            params_d.pop("btd_offdiag_dtype", None)
             if params_d["linear_solver"] in _ITERATIVE_SOLVERS:
                 fac = make_iter_factors(
                     u1, state0, control, prop, dt, params_d
@@ -741,6 +744,7 @@ class SolidModel(BaseTransientModel):
             # certification like the primal chord Newton): always use
             # full-precision factors, whatever the primal's bf16 storage
             params_d.pop("btd_store_dtype", None)
+            params_d.pop("btd_offdiag_dtype", None)
             if params_d.get("linear_solver", "dense") in _ITERATIVE_SOLVERS:
                 fac = make_iter_factors(
                     u1, state0, control, prop, dt, params_d
@@ -884,12 +888,14 @@ class SolidModel(BaseTransientModel):
                 # exact mode: rebuild full-precision factors at u1 and do
                 # ONE uncorrected transposed solve
                 params_d.pop("btd_store_dtype", None)
+                params_d.pop("btd_offdiag_dtype", None)
                 fac = make_iter_factors(
                     u1, state0, control, prop, dt, params_d
                 )
                 lam = iter_solve(fac, u1_bar, params_d, transpose=True)
             else:
                 params_d.pop("btd_store_dtype", None)
+                params_d.pop("btd_offdiag_dtype", None)
                 A = jac_u_dense(u1, state0, control, prop, dt)
                 lam = linalg.dense_solve_transpose(A, u1_bar)
             _, vjp = jax.vjp(
@@ -1078,6 +1084,7 @@ class SolidModel(BaseTransientModel):
                     get_bsb_plan(), blocks,
                     store_dtype=params_d.get("btd_store_dtype"),
                     factor_dtype=params_d.get("btd_factor_dtype"),
+                    offdiag_dtype=params_d.get("btd_offdiag_dtype"),
                 )
                 if transpose:
                     return btd_mod.btd_solve_t(get_bsb_plan(), fac, r)

@@ -564,6 +564,7 @@ class DDIntegrator:
         K = int(params_d.get("jacobian_refresh_steps", 1))
         store_dtype = params_d.get("btd_store_dtype")
         factor_dtype = params_d.get("btd_factor_dtype")
+        offdiag_dtype = params_d.get("btd_offdiag_dtype") or store_dtype
 
         shim = SimpleNamespace(b=b, h=h, nb=nb, nblk=nblk_loc)
 
@@ -919,9 +920,12 @@ class DDIntegrator:
             U = U.at[:, m - 1].set(0.0)
             fac = ss.spike_factor_local(D, L, U, B, C, axis, S)
             if store_dtype is not None:
-                cast = lambda a: a.astype(store_dtype)
+                from ..solvers.btd import _store_cast
+
+                cast = lambda a: _store_cast(a, offdiag_dtype)
                 fac = fac._replace(
-                    Sinv=cast(fac.Sinv), L=cast(fac.L), U=cast(fac.U),
+                    Sinv=_store_cast(fac.Sinv, store_dtype),
+                    P=cast(fac.P), Q=cast(fac.Q),
                     V=cast(fac.V), W=cast(fac.W),
                     Vh=cast(fac.Vh), Wh=cast(fac.Wh),
                 )

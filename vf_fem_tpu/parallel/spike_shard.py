@@ -53,8 +53,8 @@ class ShardedSPIKE(NamedTuple):
     plus the replicated reduced-system factors."""
 
     Sinv: jnp.ndarray  # (1, m, Bt, Bt)
-    L: jnp.ndarray
-    U: jnp.ndarray
+    P: jnp.ndarray  # products Sinv L (see solvers.spike.SPIKEFactors)
+    Q: jnp.ndarray  # products Sinv U
     V: jnp.ndarray
     W: jnp.ndarray
     red: tuple  # (S, 2Bt, 2Bt) x3, replicated
@@ -66,7 +66,7 @@ class ShardedSPIKE(NamedTuple):
 def _specs(axis: str):
     """PartitionSpec pytree matching :class:`ShardedSPIKE`."""
     return ShardedSPIKE(
-        Sinv=P(axis), L=P(axis), U=P(axis), V=P(axis), W=P(axis),
+        Sinv=P(axis), P=P(axis), Q=P(axis), V=P(axis), W=P(axis),
         red=(P(), P(), P()),
         Vh=P(axis), Wh=P(axis), red_t=(P(), P(), P()),
     )
@@ -106,11 +106,11 @@ def spike_factor_local(D, L, U, B, C, axis: str, S: int) -> ShardedSPIKE:
     ``ppermute``s for the transposed couplings, one ``all_gather`` of
     spike tips for the replicated reduced factorization).
     """
-    Sinv = sp._local_factor(D, L, U)
+    Sinv, Pf, Qf = sp._local_factor(D, L, U)
     C_prev = _shift_from_prev(C, axis, S)
     B_next = _shift_from_next(B, axis, S)
     V, W, Vh, Wh = sp._spike_from_locals(
-        Sinv, L, U, B, C, with_transpose=True,
+        Sinv, Pf, Qf, B, C, with_transpose=True,
         C_prev=C_prev, B_next=B_next,
     )
 
@@ -123,7 +123,7 @@ def spike_factor_local(D, L, U, B, C, axis: str, S: int) -> ShardedSPIKE:
         return sp._reduced_factor(tips(Vl), tips(Wl))
 
     return ShardedSPIKE(
-        Sinv=Sinv, L=L, U=U, V=V, W=W, red=reduced(V, W),
+        Sinv=Sinv, P=Pf, Q=Qf, V=V, W=W, red=reduced(V, W),
         Vh=Vh, Wh=Wh, red_t=reduced(Vh, Wh),
     )
 
@@ -153,12 +153,12 @@ def _interface_correct_local(g, red, V, W, axis: str):
 def spike_solve_local(fac: ShardedSPIKE, rb, axis: str):
     """Solve ``A x = r`` for this device's (1, m, Bt) slab inside
     ``shard_map``."""
-    g = sp._local_solve(fac.Sinv, fac.L, fac.U, rb)
+    g = sp._local_solve(fac.Sinv, fac.P, fac.Q, rb)
     return _interface_correct_local(g, fac.red, fac.V, fac.W, axis)
 
 
 def spike_solve_t_local(fac: ShardedSPIKE, rb, axis: str):
-    g = sp._local_solve_t(fac.Sinv, fac.L, fac.U, rb)
+    g = sp._local_solve_t(fac.Sinv, fac.P, fac.Q, rb)
     return _interface_correct_local(g, fac.red_t, fac.Vh, fac.Wh, axis)
 
 

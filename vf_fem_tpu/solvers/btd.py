@@ -9,7 +9,9 @@ U_{i-1}``, inverses stored explicitly) then solves the system *directly*:
 
 - factorization: ``n_sup`` sequential ``Bt x Bt`` LU-inverses + batched
   matmuls, done once per Jacobian refresh window (amortized);
-- solve: two scans of block matvecs — HBM traffic ~3x one banded matvec.
+- solve: one batched MXU matmul (``g = Sinv r``) + two scans of ONE
+  block matvec per row (product-form factors ``V = Sinv L``,
+  ``W = Sinv U`` — see :class:`BTDFactors`).
 
 Why this wins on TPU: at 50k+ dofs the Krylov path is bandwidth-bound
 (each BiCGStab iteration streams the whole band; ~46 streams per time
@@ -42,9 +44,25 @@ __all__ = [
 
 
 class BTDFactors(NamedTuple):
+    """Product-form block-Thomas factors.
+
+    The factorization is ``A_s = Lt Ut`` (``Lt`` lower block-bidiagonal
+    with diagonal ``S_i`` and sub-diagonal ``L_i``; ``Ut`` upper
+    bidiagonal with unit diagonal and super ``Sinv_i U_i``).  Instead of
+    the raw ``(Sinv, L, U)`` triplet, the *products* ``V_i = Sinv_i L_i``
+    and ``W_i = Sinv_i U_i`` are stored: both solve sweeps then take ONE
+    matvec per sequential block row (``y_i = g_i - V_i y_{i-1}``,
+    ``x_i = y_i - W_i x_{i+1}``) with the ``Sinv`` application hoisted
+    out of the serial chain into a single batched MXU matmul
+    (``g = Sinv r``).  vs the raw triplet this halves both the serial
+    chain's latency (1 matvec/row instead of 2 dependent ones) and its
+    HBM traffic (V+W streamed in-scan instead of Sinv twice + L + U).
+    The transposed solve uses the same arrays (see ``btd_solve_t``).
+    """
+
     Sinv: jnp.ndarray  # (n_sup, Bt, Bt) Schur-complement inverses
-    L: jnp.ndarray  # (n_sup, Bt, Bt) sub-diagonal super-blocks
-    U: jnp.ndarray  # (n_sup, Bt, Bt) super-diagonal super-blocks
+    V: jnp.ndarray  # (n_sup, Bt, Bt) products Sinv_i @ L_i
+    W: jnp.ndarray  # (n_sup, Bt, Bt) products Sinv_i @ U_i
     d: jnp.ndarray  # (ndof_pad,) Jacobi equilibration scale
 
 
@@ -119,17 +137,26 @@ def btd_superblocks(plan: BSBPlan, blocks: jnp.ndarray):
 
 def btd_factor(
     plan: BSBPlan, blocks: jnp.ndarray, store_dtype=None,
-    factor_dtype=None,
+    factor_dtype=None, offdiag_dtype=None,
 ) -> BTDFactors:
     """Equilibrate + block-Thomas factor the banded Jacobian.
 
-    ``store_dtype='bfloat16'`` stores the factors half-width: the solve is
-    bandwidth-bound streaming Sinv/L/U (measured ~75% of the HBM floor),
-    so bf16 storage nearly halves per-solve time.  The ~1e-2 relative
-    factor error is within what the chord (frozen-Jacobian) Newton
-    already tolerates from stale factors — convergence remains
+    ``store_dtype='bfloat16'`` stores the factors half-width: the solve
+    streams the factor arrays (bandwidth-bound at large meshes), so bf16
+    storage nearly halves per-solve time.  The ~1e-2 relative factor
+    error is within what the chord (frozen-Jacobian) Newton already
+    tolerates from stale factors — convergence remains
     residual-certified (see ``solvers.newton``).  Matvecs accumulate in
     f32 (``preferred_element_type``).
+
+    ``offdiag_dtype`` (default: ``store_dtype``) separately controls the
+    off-diagonal product arrays ``V/W`` — the ONLY arrays streamed
+    inside the solve's serial scans.  Quantizing them below ``Sinv``
+    costs almost no accuracy (they multiply the sweep *corrections*, not
+    the residual itself: measured solve error 2.2e-3 for bf16-Sinv +
+    e4m3-V/W vs 1.7e-3 all-bf16, vs 1.3e-1 with e4m3 Sinv), so
+    ``store_dtype='bfloat16', offdiag_dtype='float8_e4m3fn'`` halves the
+    serial-chain traffic again at bf16-grade solve quality.
 
     ``factor_dtype='float32'`` casts the Jacobian *before* factorizing —
     the mixed-precision path for f64 runs on TPU, where elementwise f64
@@ -149,117 +176,184 @@ def btd_factor(
 
     def body(Sinv_prev, xs):
         D_i, L_i, U_im1 = xs
-        S = D_i - L_i @ (Sinv_prev @ U_im1)
+        # SU = Sinv_{i-1} @ U_{i-1} is W_{i-1}: emit it so the W
+        # products fall out of the factorization for free
+        SU = Sinv_prev @ U_im1
+        S = D_i - L_i @ SU
         Sinv = jnp.linalg.solve(S, eye)
-        return Sinv, Sinv
+        return Sinv, (Sinv, SU)
 
-    _, Sinv = jax.lax.scan(body, jnp.zeros_like(eye), (D, L, U_prev))
+    _, (Sinv, SU) = jax.lax.scan(
+        body, jnp.zeros_like(eye), (D, L, U_prev)
+    )
+    W = jnp.concatenate([SU[1:], (Sinv[-1] @ U[-1])[None]], axis=0)
+    # V = Sinv @ L as ONE batched MXU matmul (outside the serial scan)
+    V = jax.lax.dot_general(
+        Sinv, L,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=Sinv.dtype,
+    )
     if store_dtype is not None:
-        Sinv = Sinv.astype(store_dtype)
-        L = L.astype(store_dtype)
-        U = U.astype(store_dtype)
-    return BTDFactors(Sinv=Sinv, L=L, U=U, d=d)
+        Sinv = _store_cast(Sinv, store_dtype)
+    od = offdiag_dtype if offdiag_dtype is not None else store_dtype
+    if od is not None:
+        V = _store_cast(V, od)
+        W = _store_cast(W, od)
+    return BTDFactors(Sinv=Sinv, V=V, W=W, d=d)
 
 
-def _mv(A, x):
-    """A @ x preserving the vector dtype.
+# finite-max clamp values for fp8 storage formats (cast of an
+# out-of-range f32 gives inf/nan, which would poison the whole solve)
+_FP8_MAX = {"float8_e4m3fn": 448.0, "float8_e5m2": 57344.0}
 
-    bf16-stored factors stream at half bandwidth and accumulate in f32
-    before casting back; f32 factors under an f64 vector (the TPU
-    mixed-precision path — no f64 MXU) compute in f32 and cast back."""
-    if A.dtype != x.dtype:
+
+def _store_cast(X, store_dtype):
+    """Cast factors to the storage dtype, clamping fp8 to finite range.
+
+    The factors are Jacobi-equilibrated (O(1) rows/cols), so e4m3's
+    +-448 range holds everything but ill-conditioned Schur-complement
+    inverses; those outliers saturate instead of overflowing to inf —
+    a bounded factor-quality loss the residual-certified chord Newton
+    can still absorb (or fail loudly on via the trajectory gate)."""
+    name = jnp.dtype(store_dtype).name
+    fmax = _FP8_MAX.get(name)
+    if fmax is not None:
+        X = jnp.clip(X, -fmax, fmax)
+    return X.astype(store_dtype)
+
+
+def _upcast(A):
+    """fp8-stored factors upconvert the BLOCK in-register to bf16 — the
+    VECTOR is never quantized below bf16 (an fp8 rhs would lose the
+    residual itself, not just the preconditioner quality)."""
+    return A.astype(jnp.bfloat16) if A.dtype.itemsize == 1 else A
+
+
+def _dot(A, x, dims):
+    """Factor-block matvec preserving the vector dtype.
+
+    bf16-stored factors stream at half bandwidth (fp8 at byte width)
+    and accumulate in f32 before casting back; f32 factors under an
+    f64 vector (the TPU mixed-precision path — no f64 MXU) compute in
+    f32 and cast back."""
+    if A.dtype != x.dtype or A.dtype.itemsize == 1:
+        A = _upcast(A)
         out = jax.lax.dot_general(
             A,
             x.astype(A.dtype),
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            dimension_numbers=(dims, ((), ())),
             preferred_element_type=jnp.float32,
         )
         return out.astype(x.dtype)
-    return A @ x
+    return jax.lax.dot_general(A, x, dimension_numbers=(dims, ((), ())))
+
+
+def _mv(A, x):
+    """A @ x: (Bt, Bt) @ (Bt,), mixed-precision (see :func:`_dot`)."""
+    return _dot(A, x, ((1,), (0,)))
+
+
+def _mvT(A, x):
+    """A.T @ x with the same dtype handling as :func:`_mv`."""
+    return _dot(A, x, ((0,), (0,)))
+
+
+def _bdot(A, x, contract):
+    """Batched (n, Bt, Bt) @ (n, Bt) -> (n, Bt) with :func:`_dot`'s
+    dtype policy — the full-MXU hoisted ``Sinv`` application."""
+    dims = ((contract,), (1,)), ((0,), (0,))
+    if A.dtype != x.dtype or A.dtype.itemsize == 1:
+        A = _upcast(A)
+        out = jax.lax.dot_general(
+            A, x.astype(A.dtype), dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+        )
+        return out.astype(x.dtype)
+    return jax.lax.dot_general(A, x, dimension_numbers=dims)
+
+
+def _bmv(A, x):
+    return _bdot(A, x, 2)
+
+
+def _bmvT(A, x):
+    return _bdot(A, x, 1)
 
 
 def btd_solve(plan: BSBPlan, factors: BTDFactors, r: jnp.ndarray):
-    """Direct solve ``A x = r`` with the stored Thomas factors."""
-    Sinv, L, U, d = factors
+    """Direct solve ``A x = r`` with the stored product-form factors.
+
+    ``g = Sinv r`` is ONE batched matmul (full-efficiency MXU, outside
+    the serial chain); the two sweeps are then one matvec per block row:
+
+        y_i = g_i - V_i y_{i-1}           (forward,  V = Sinv L)
+        x_i = y_i - W_i x_{i+1}           (backward, W = Sinv U)
+    """
+    Sinv, V, W, d = factors
     n_sup, Bt, _ = Sinv.shape
     npad = n_sup * Bt - r.shape[0]
     rb = jnp.pad(r / d[: r.shape[0]], (0, npad)).reshape(n_sup, Bt)
+    g = _bmv(Sinv, rb)
 
     def fwd(y_prev, xs):
-        Sinv_i, L_i, r_i = xs
-        y = _mv(Sinv_i, r_i - _mv(L_i, y_prev))
+        V_i, g_i = xs
+        y = g_i - _mv(V_i, y_prev)
         return y, y
 
-    _, y = jax.lax.scan(fwd, jnp.zeros(Bt, rb.dtype), (Sinv, L, rb))
+    _, y = jax.lax.scan(fwd, jnp.zeros(Bt, g.dtype), (V, g))
 
     def bwd(x_next, xs):
-        Sinv_i, U_i, y_i = xs
-        x = y_i - _mv(Sinv_i, _mv(U_i, x_next))
+        W_i, y_i = xs
+        x = y_i - _mv(W_i, x_next)
         return x, x
 
     _, x = jax.lax.scan(
-        bwd, jnp.zeros(Bt, rb.dtype), (Sinv, U, y), reverse=True
+        bwd, jnp.zeros(Bt, g.dtype), (W, y), reverse=True
     )
     x = x.reshape(-1)[: r.shape[0]]
     return x / d[: r.shape[0]]
 
 
-def _mvT(A, x):
-    """A.T @ x with the same dtype handling as :func:`_mv`."""
-    if A.dtype != x.dtype:
-        out = jax.lax.dot_general(
-            A,
-            x.astype(A.dtype),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return out.astype(x.dtype)
-    return A.T @ x
-
-
 def btd_solve_t(plan: BSBPlan, factors: BTDFactors, r: jnp.ndarray):
     """Direct TRANSPOSED solve ``A^T x = r`` with the same stored factors.
 
-    The Thomas factorization is ``A_s = Lt Ut`` with ``Lt`` block lower
-    bidiagonal (diag ``S_i``, sub ``L_i``) and ``Ut`` upper bidiagonal
-    (diag ``I``, super ``Sinv_i U_i``); hence ``A_s^T = Ut^T Lt^T`` solves
-    in two sweeps of per-block *transposed* matvecs:
-
-        z_i = r_i - U_{i-1}^T Sinv_{i-1}^T z_{i-1}        (forward)
-        x_i = Sinv_i^T (z_i - L_{i+1}^T x_{i+1})          (backward)
+    The factorization is ``A_s = Lt Ut`` (see :class:`BTDFactors`), so
+    ``A_s^T = Ut^T Lt^T``.  ``Ut^T z = r`` is the forward sweep
+    ``z_i = r_i - W_{i-1}^T z_{i-1}``.  For ``Lt^T x = z`` substitute
+    ``w_i = S_i^T x_i``: the recurrence ``S_i^T x_i = z_i - L_{i+1}^T
+    x_{i+1}`` becomes ``w_i = z_i - (Sinv_{i+1} L_{i+1})^T w_{i+1} =
+    z_i - V_{i+1}^T w_{i+1}`` — one transposed matvec per row — and the
+    final ``x = Sinv^T w`` hoists out as one batched matmul.  Same
+    storage, latency, and traffic as the forward solve.
 
     The equilibration is symmetric (``d`` on both sides), so pre/post
     scaling is identical to :func:`btd_solve`.  This is what makes IFT
     adjoint solves direct at large mesh sizes (the reverse path
     previously rerouted to matrix-free Krylov)."""
-    Sinv, L, U, d = factors
+    Sinv, V, W, d = factors
     n_sup, Bt, _ = Sinv.shape
     npad = n_sup * Bt - r.shape[0]
     rb = jnp.pad(r / d[: r.shape[0]], (0, npad)).reshape(n_sup, Bt)
 
-    U_prev = jnp.concatenate([jnp.zeros_like(U[:1]), U[:-1]], axis=0)
-    Sinv_prev = jnp.concatenate(
-        [jnp.zeros_like(Sinv[:1]), Sinv[:-1]], axis=0
-    )
+    W_prev = jnp.concatenate([jnp.zeros_like(W[:1]), W[:-1]], axis=0)
 
     def fwd(z_prev, xs):
-        Sinv_im1, U_im1, r_i = xs
-        z = r_i - _mvT(U_im1, _mvT(Sinv_im1, z_prev))
+        W_im1, r_i = xs
+        z = r_i - _mvT(W_im1, z_prev)
         return z, z
 
-    _, z = jax.lax.scan(
-        fwd, jnp.zeros(Bt, rb.dtype), (Sinv_prev, U_prev, rb)
+    _, z = jax.lax.scan(fwd, jnp.zeros(Bt, rb.dtype), (W_prev, rb))
+
+    V_next = jnp.concatenate([V[1:], jnp.zeros_like(V[:1])], axis=0)
+
+    def bwd(w_next, xs):
+        V_ip1, z_i = xs
+        w = z_i - _mvT(V_ip1, w_next)
+        return w, w
+
+    _, w = jax.lax.scan(
+        bwd, jnp.zeros(Bt, rb.dtype), (V_next, z), reverse=True
     )
-
-    L_next = jnp.concatenate([L[1:], jnp.zeros_like(L[:1])], axis=0)
-
-    def bwd(x_next, xs):
-        Sinv_i, L_ip1, z_i = xs
-        x = _mvT(Sinv_i, z_i - _mvT(L_ip1, x_next))
-        return x, x
-
-    _, x = jax.lax.scan(
-        bwd, jnp.zeros(Bt, rb.dtype), (Sinv, L_next, z), reverse=True
-    )
+    x = _bmvT(Sinv, w)
     x = x.reshape(-1)[: r.shape[0]]
     return x / d[: r.shape[0]]

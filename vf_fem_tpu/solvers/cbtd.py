@@ -35,9 +35,14 @@ __all__ = ["CBTDFactors", "cbtd_factor", "cbtd_solve"]
 
 
 class CBTDFactors(NamedTuple):
+    """Product-form embedded Thomas factors (``V = Sinv L``,
+    ``W = Sinv U`` — same restructuring as ``btd.BTDFactors``: one
+    matvec per sequential row, the ``Sinv`` application hoisted into a
+    batched matmul)."""
+
     Sinv: jnp.ndarray  # (n_sup, 2Bt, 2Bt) embedded Schur inverses
-    L: jnp.ndarray  # (n_sup, 2Bt, 2Bt)
-    U: jnp.ndarray  # (n_sup, 2Bt, 2Bt)
+    V: jnp.ndarray  # (n_sup, 2Bt, 2Bt) products Sinv L
+    W: jnp.ndarray  # (n_sup, 2Bt, 2Bt) products Sinv U
     d: jnp.ndarray  # (ndof_pad,) real equilibration scale
     Bt: int
 
@@ -84,18 +89,31 @@ def cbtd_factor(
 
     def body(Sinv_prev, xs):
         D_i, L_i, U_im1 = xs
-        S = D_i - L_i @ (Sinv_prev @ U_im1)
+        SU = Sinv_prev @ U_im1  # = W_{i-1}
+        S = D_i - L_i @ SU
         Sinv = jnp.linalg.solve(S, eye)
-        return Sinv, Sinv
+        return Sinv, (Sinv, SU)
 
-    _, Sinv = jax.lax.scan(body, jnp.zeros_like(eye), (D, L, U_prev))
-    return CBTDFactors(Sinv=Sinv, L=L, U=U, d=d, Bt=Bt2 // 2)
+    _, (Sinv, SU) = jax.lax.scan(
+        body, jnp.zeros_like(eye), (D, L, U_prev)
+    )
+    W = jnp.concatenate([SU[1:], (Sinv[-1] @ U[-1])[None]], axis=0)
+    V = jax.lax.dot_general(
+        Sinv, L,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=Sinv.dtype,
+    )
+    return CBTDFactors(Sinv=Sinv, V=V, W=W, d=d, Bt=Bt2 // 2)
 
 
 def cbtd_solve(plan: BSBPlan, factors: CBTDFactors, r_re, r_im):
     """Solve the complex system for a complex rhs given as (re, im);
-    returns (x_re, x_im)."""
-    Sinv, L, U, d = factors[:4]
+    returns (x_re, x_im).
+
+    Product-form sweeps (see ``btd.btd_solve``): ``g = Sinv r`` batched,
+    then ``y_i = g_i - V_i y_{i-1}`` / ``x_i = y_i - W_i x_{i+1}`` —
+    one matvec per sequential row of the embedded system."""
+    Sinv, V, W, d = factors[:4]
     # NOT factors.Bt: the int leaf is traced when the factors are passed
     # as jit arguments (remote-compile payload limits require that); the
     # static shape carries the same information
@@ -108,21 +126,24 @@ def cbtd_solve(plan: BSBPlan, factors: CBTDFactors, r_re, r_im):
         return jnp.pad(v / d[:n], (0, npad)).reshape(n_sup, Bt)
 
     rb = jnp.concatenate([pack(r_re), pack(r_im)], axis=1)  # (n_sup, 2Bt)
+    g = jax.lax.dot_general(
+        Sinv, rb, dimension_numbers=(((2,), (1,)), ((0,), (0,)))
+    )
 
     def fwd(y_prev, xs):
-        Sinv_i, L_i, r_i = xs
-        y = Sinv_i @ (r_i - L_i @ y_prev)
+        V_i, g_i = xs
+        y = g_i - V_i @ y_prev
         return y, y
 
-    _, y = jax.lax.scan(fwd, jnp.zeros(2 * Bt, rb.dtype), (Sinv, L, rb))
+    _, y = jax.lax.scan(fwd, jnp.zeros(2 * Bt, g.dtype), (V, g))
 
     def bwd(x_next, xs):
-        Sinv_i, U_i, y_i = xs
-        x = y_i - Sinv_i @ (U_i @ x_next)
+        W_i, y_i = xs
+        x = y_i - W_i @ x_next
         return x, x
 
     _, x = jax.lax.scan(
-        bwd, jnp.zeros(2 * Bt, rb.dtype), (Sinv, U, y), reverse=True
+        bwd, jnp.zeros(2 * Bt, g.dtype), (W, y), reverse=True
     )
     x_re = x[:, :Bt].reshape(-1)[:n] / d[:n]
     x_im = x[:, Bt:].reshape(-1)[:n] / d[:n]

@@ -47,7 +47,7 @@ import jax
 import jax.numpy as jnp
 
 from .bsb import BSBPlan
-from .btd import btd_superblocks
+from .btd import btd_superblocks, _store_cast as _offdiag_cast
 
 __all__ = ["SPIKEFactors", "spike_factor", "spike_solve", "spike_solve_t"]
 
@@ -56,14 +56,18 @@ class SPIKEFactors(NamedTuple):
     """Per-slab Thomas factors + spikes + reduced-system factors.
 
     Leading axis ``S`` is the slab (partition) index; ``m`` super-rows
-    per slab of block size ``Bt``.  ``red`` / ``red_t`` are the
-    ``(Sinv_r, L_r, U_r)`` Thomas factors of the (2Bt-block) reduced
-    interface system for ``A`` and ``A^T``.
+    per slab of block size ``Bt``.  The slab-local Thomas factors are
+    stored in PRODUCT form ``P = Sinv L``, ``Q = Sinv U`` (same
+    restructuring as ``solvers.btd.BTDFactors``: one matvec per
+    sequential row in each sweep, the ``Sinv`` application hoisted into
+    a batched MXU matmul).  ``red`` / ``red_t`` are the ``(Sinv_r, L_r,
+    U_r)`` Thomas factors of the (2Bt-block) reduced interface system
+    for ``A`` and ``A^T``.
     """
 
     Sinv: jnp.ndarray  # (S, m, Bt, Bt) local Schur inverses
-    L: jnp.ndarray  # (S, m, Bt, Bt) local sub-diagonal (L[:, 0] = 0)
-    U: jnp.ndarray  # (S, m, Bt, Bt) local super-diagonal (U[:, -1] = 0)
+    P: jnp.ndarray  # (S, m, Bt, Bt) products Sinv L (P[:, 0] = 0)
+    Q: jnp.ndarray  # (S, m, Bt, Bt) products Sinv U (Q[:, -1] = 0)
     V: jnp.ndarray  # (S, m, Bt, Bt) right spikes (V[S-1] = 0)
     W: jnp.ndarray  # (S, m, Bt, Bt) left spikes (W[0] = 0)
     red: tuple  # reduced Thomas factors (Sinv_r, L_r, U_r), (S, 2Bt, 2Bt)
@@ -86,6 +90,14 @@ def _mixed_einsum(subs, A, x):
     see ``btd._mv``): the product runs in ``A.dtype``, the result is
     cast back to the vector dtype.  The single site for the solver
     family's precision policy."""
+    if A.dtype.itemsize == 1:
+        # fp8-stored factors: upconvert the BLOCK in-register to bf16;
+        # the vector is never quantized below bf16 (see btd._dot)
+        out = jnp.einsum(
+            subs, A.astype(jnp.bfloat16), x.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        return out.astype(_mixed_target(x.dtype))
     if A.dtype != x.dtype or A.dtype == jnp.bfloat16:
         # Factors are never wider than the vectors in this family
         # (bf16/f32 factors under f32/f64 vectors); a wider-factor call
@@ -120,16 +132,19 @@ def _scan_m(f, xs_tuple, init, reverse=False):
     """Scan over the slab-interior axis (axis 1) of (S, m, ...) arrays."""
     xs = tuple(jnp.moveaxis(x, 1, 0) for x in xs_tuple)
     _, ys = jax.lax.scan(f, init, xs, reverse=reverse)
-    return jnp.moveaxis(ys, 0, 1)
+    return jax.tree_util.tree_map(lambda y: jnp.moveaxis(y, 0, 1), ys)
 
 
 def _local_factor(D, L, U):
     """Batched block-Thomas factorization of each slab's interior.
 
     ``D, L, U``: (S, m, Bt, Bt) with the inter-slab couplings already
-    stripped (``L[:, 0] = U[:, -1] = 0``).  Returns the per-slab Schur
-    inverses (S, m, Bt, Bt); the scan is length ``m`` with all slabs
-    advancing in lockstep (batched LU + matmuls).
+    stripped (``L[:, 0] = U[:, -1] = 0``).  Returns the PRODUCT-form
+    factors ``(Sinv, P, Q)`` with ``P = Sinv L``, ``Q = Sinv U`` (see
+    ``SPIKEFactors``); the scan is length ``m`` with all slabs advancing
+    in lockstep (batched LU + matmuls).  ``Q`` falls out of the
+    factorization recurrence (the body already computes ``Sinv_{i-1}
+    U_{i-1}``); ``P`` is one batched matmul.
     """
     S, m, Bt, _ = D.shape
     eye = jnp.broadcast_to(jnp.eye(Bt, dtype=D.dtype), (S, Bt, Bt))
@@ -139,70 +154,85 @@ def _local_factor(D, L, U):
 
     def body(Sinv_prev, xs):
         D_i, L_i, U_im1 = xs  # (S, Bt, Bt) each
-        Sm = D_i - _bmm(L_i, _bmm(Sinv_prev, U_im1))
+        SU = _bmm(Sinv_prev, U_im1)  # = Q_{i-1}
+        Sm = D_i - _bmm(L_i, SU)
         Sinv = jnp.linalg.solve(Sm, eye)
-        return Sinv, Sinv
+        return Sinv, (Sinv, SU)
 
     # derive the init from the data so it carries the same varying-axes
     # type under shard_map (a fresh constant would be replicated-typed)
-    return _scan_m(body, (D, L, U_prev), 0.0 * D[:, 0])
+    Sinv, SU = _scan_m(body, (D, L, U_prev), 0.0 * D[:, 0])
+    Q = jnp.concatenate(
+        [SU[:, 1:], _bmm(Sinv[:, -1], U[:, -1])[:, None]], axis=1
+    )
+    P = _bmm(Sinv, L)
+    return Sinv, P, Q
 
 
-def _local_solve(Sinv, L, U, R):
-    """Per-slab Thomas solve, batched over slabs.
+def _local_solve(Sinv, P, Q, R):
+    """Per-slab product-form Thomas solve, batched over slabs.
 
     ``R``: (S, m, Bt) vector or (S, m, Bt, k) matrix right-hand sides.
+    ``g = Sinv R`` is batched over the whole slab (outside the scans);
+    the sweeps are one matvec per sequential row (see ``SPIKEFactors``).
     """
-    zero = 0.0 * R[:, 0]  # data-derived: keeps shard_map varying type
     mv = _bmv if R.ndim == 3 else _bmm
+    g = mv(Sinv, R)
+    # data-derived init over the UNION of operand varying axes: keeps
+    # the shard_map varying-axes type (jax 0.9 VMA)
+    zero = 0.0 * (g[:, 0] + mv(P[:, 0], g[:, 0]))
 
     def fwd(y_prev, xs):
-        Sinv_i, L_i, r_i = xs
-        y = mv(Sinv_i, r_i - mv(L_i, y_prev))
+        P_i, g_i = xs
+        y = g_i - mv(P_i, y_prev)
         return y, y
 
-    y = _scan_m(fwd, (Sinv, L, R), zero)
+    y = _scan_m(fwd, (P, g), zero)
+    zero_b = 0.0 * (y[:, 0] + mv(Q[:, 0], y[:, 0]))
 
     def bwd(x_next, xs):
-        Sinv_i, U_i, y_i = xs
-        x = y_i - mv(Sinv_i, mv(U_i, x_next))
+        Q_i, y_i = xs
+        x = y_i - mv(Q_i, x_next)
         return x, x
 
-    return _scan_m(bwd, (Sinv, U, y), zero, reverse=True)
+    return _scan_m(bwd, (Q, y), zero_b, reverse=True)
 
 
-def _local_solve_t(Sinv, L, U, R):
-    """Per-slab TRANSPOSED Thomas solve ``A_j^T x = r`` (same factors;
-    see ``solvers.btd.btd_solve_t`` for the two-sweep identity)."""
-    zero = 0.0 * R[:, 0]  # data-derived: keeps shard_map varying type
+def _local_solve_t(Sinv, P, Q, R):
+    """Per-slab TRANSPOSED product-form solve ``A_j^T x = r``.
+
+    Same two-sweep identity as ``solvers.btd.btd_solve_t``: ``z_i = r_i
+    - Q_{i-1}^T z_{i-1}``, then with ``w_i = S_i^T x_i`` the second
+    sweep is ``w_i = z_i - P_{i+1}^T w_{i+1}`` and ``x = Sinv^T w``
+    hoists out as one batched matmul."""
     mvt = _bmv_t if R.ndim == 3 else (
         lambda A, X: _bmm(jnp.swapaxes(A, -1, -2), X)
     )
+    zero = 0.0 * (R[:, 0] + mvt(Q[:, 0], R[:, 0]))
 
-    U_prev = jnp.concatenate(
-        [jnp.zeros_like(U[:, :1]), U[:, :-1]], axis=1
-    )
-    Sinv_prev = jnp.concatenate(
-        [jnp.zeros_like(Sinv[:, :1]), Sinv[:, :-1]], axis=1
+    Q_prev = jnp.concatenate(
+        [jnp.zeros_like(Q[:, :1]), Q[:, :-1]], axis=1
     )
 
     def fwd(z_prev, xs):
-        Sinv_im1, U_im1, r_i = xs
-        z = r_i - mvt(U_im1, mvt(Sinv_im1, z_prev))
+        Q_im1, r_i = xs
+        z = r_i - mvt(Q_im1, z_prev)
         return z, z
 
-    z = _scan_m(fwd, (Sinv_prev, U_prev, R), zero)
+    z = _scan_m(fwd, (Q_prev, R), zero)
 
-    L_next = jnp.concatenate(
-        [L[:, 1:], jnp.zeros_like(L[:, :1])], axis=1
+    P_next = jnp.concatenate(
+        [P[:, 1:], jnp.zeros_like(P[:, :1])], axis=1
     )
+    zero_b = 0.0 * (z[:, 0] + mvt(P[:, 0], z[:, 0]))
 
-    def bwd(x_next, xs):
-        Sinv_i, L_ip1, z_i = xs
-        x = mvt(Sinv_i, z_i - mvt(L_ip1, x_next))
-        return x, x
+    def bwd(w_next, xs):
+        P_ip1, z_i = xs
+        w = z_i - mvt(P_ip1, w_next)
+        return w, w
 
-    return _scan_m(bwd, (Sinv, L_next, z), zero, reverse=True)
+    w = _scan_m(bwd, (P_next, z), zero_b, reverse=True)
+    return mvt(Sinv, w)
 
 
 def _reduced_blocks(V, W):
@@ -218,7 +248,9 @@ def _reduced_blocks(V, W):
     blk = lambda tl, tr, bl, br: jnp.concatenate(
         [row(tl, tr), row(bl, br)], axis=-2
     )
-    f32 = lambda a: a.astype(jnp.float32) if a.dtype == jnp.bfloat16 else a
+    f32 = lambda a: (
+        a.astype(jnp.float32) if a.dtype.itemsize <= 2 else a
+    )
     L_r = blk(Z, f32(W[:, 0]), Z, f32(W[:, m - 1]))
     U_r = blk(f32(V[:, 0]), Z, f32(V[:, m - 1]), Z)
     return eye2, L_r, U_r
@@ -300,7 +332,7 @@ def spike_superblocks(plan: BSBPlan, blocks: jnp.ndarray, n_parts: int):
 
 
 def _spike_from_locals(
-    Sinv, L, U, B, C, with_transpose=True, C_prev=None, B_next=None
+    Sinv, P, Q, B, C, with_transpose=True, C_prev=None, B_next=None
 ):
     """Spikes + reduced factors from already-computed local factors.
 
@@ -315,8 +347,8 @@ def _spike_from_locals(
     # right spikes: A_j^{-1} (e_last ⊗ C_j); left: A_j^{-1} (e_0 ⊗ B_j)
     R_V = jnp.zeros((S, m, Bt, Bt), Sinv.dtype).at[:, m - 1].set(C)
     R_W = jnp.zeros((S, m, Bt, Bt), Sinv.dtype).at[:, 0].set(B)
-    V = _local_solve(Sinv, L, U, R_V)
-    W = _local_solve(Sinv, L, U, R_W)
+    V = _local_solve(Sinv, P, Q, R_V)
+    W = _local_solve(Sinv, P, Q, R_W)
 
     Vh = Wh = None
     if with_transpose:
@@ -332,8 +364,8 @@ def _spike_from_locals(
         tr = lambda A: jnp.swapaxes(A, -1, -2)
         R_Vh = jnp.zeros_like(R_V).at[:, m - 1].set(tr(B_next))
         R_Wh = jnp.zeros_like(R_W).at[:, 0].set(tr(C_prev))
-        Vh = _local_solve_t(Sinv, L, U, R_Vh)
-        Wh = _local_solve_t(Sinv, L, U, R_Wh)
+        Vh = _local_solve_t(Sinv, P, Q, R_Vh)
+        Wh = _local_solve_t(Sinv, P, Q, R_Wh)
     return V, W, Vh, Wh
 
 
@@ -350,35 +382,43 @@ def spike_factor(
     store_dtype=None,
     with_transpose: bool = True,
     factor_dtype=None,
+    offdiag_dtype=None,
 ) -> SPIKEFactors:
     """Factor the banded Jacobian with ``n_parts`` SPIKE slabs.
 
     ``store_dtype='bfloat16'`` stores all large factor arrays
     half-width (same bandwidth-bound argument as
-    ``solvers.btd.btd_factor``).  ``with_transpose=False`` skips the
-    transposed spikes (forward-only runs).  ``factor_dtype='float32'``
-    casts the Jacobian *before* factorizing — the TPU mixed-precision
-    path (f64 state/residuals, f32 factors; see ``btd.btd_factor``).
+    ``solvers.btd.btd_factor``).  ``offdiag_dtype`` (default:
+    ``store_dtype``) separately controls the sweep/correction arrays
+    (``P/Q/V/W/Vh/Wh``) — quantizing them below ``Sinv`` costs almost
+    no solve accuracy (see ``btd.btd_factor``).
+    ``with_transpose=False`` skips the transposed spikes (forward-only
+    runs).  ``factor_dtype='float32'`` casts the Jacobian *before*
+    factorizing — the TPU mixed-precision path (f64 state/residuals,
+    f32 factors; see ``btd.btd_factor``).
     """
     if factor_dtype is not None:
         blocks = blocks.astype(factor_dtype)
     D, L, U, B, C, d = spike_superblocks(plan, blocks, n_parts)
-    Sinv = _local_factor(D, L, U)
+    Sinv, Pf, Qf = _local_factor(D, L, U)
     V, W, Vh, Wh = _spike_from_locals(
-        Sinv, L, U, B, C, with_transpose=with_transpose
+        Sinv, Pf, Qf, B, C, with_transpose=with_transpose
     )
     red = _reduced_factor(V, W)
     red_t = None
     if with_transpose:
         red_t = _reduced_factor(Vh, Wh)
 
+    od = offdiag_dtype if offdiag_dtype is not None else store_dtype
     if store_dtype is not None:
-        cast = lambda a: None if a is None else a.astype(store_dtype)
-        Sinv, L, U, V, W = map(cast, (Sinv, L, U, V, W))
+        Sinv = Sinv.astype(store_dtype)
+    if od is not None:
+        cast = lambda a: None if a is None else _offdiag_cast(a, od)
+        Pf, Qf, V, W = map(cast, (Pf, Qf, V, W))
         Vh, Wh = cast(Vh), cast(Wh)
         # the reduced factors are tiny — keep them full precision
     return SPIKEFactors(
-        Sinv=Sinv, L=L, U=U, V=V, W=W, red=red, Vh=Vh, Wh=Wh,
+        Sinv=Sinv, P=Pf, Q=Qf, V=V, W=W, red=red, Vh=Vh, Wh=Wh,
         red_t=red_t, d=d,
     )
 
@@ -415,7 +455,7 @@ def _slabs_to_vec(factors: SPIKEFactors, x: jnp.ndarray, n: int):
 def spike_solve(plan: BSBPlan, factors: SPIKEFactors, r: jnp.ndarray):
     """Direct solve ``A x = r`` with the SPIKE factors."""
     rb = _vec_to_slabs(factors, r)
-    g = _local_solve(factors.Sinv, factors.L, factors.U, rb)
+    g = _local_solve(factors.Sinv, factors.P, factors.Q, rb)
     x = _interface_correct(g, factors.red, factors.V, factors.W)
     return _slabs_to_vec(factors, x, r.shape[0])
 
@@ -426,6 +466,6 @@ def spike_solve_t(plan: BSBPlan, factors: SPIKEFactors, r: jnp.ndarray):
         "spike_factor(with_transpose=True) required for transposed solves"
     )
     rb = _vec_to_slabs(factors, r)
-    g = _local_solve_t(factors.Sinv, factors.L, factors.U, rb)
+    g = _local_solve_t(factors.Sinv, factors.P, factors.Q, rb)
     x = _interface_correct(g, factors.red_t, factors.Vh, factors.Wh)
     return _slabs_to_vec(factors, x, r.shape[0])
