@@ -410,14 +410,15 @@ def main():
             )
             tol_l = {
                 "assembly": "banded",
-                # round-5 same-session A/B (probe_spike_prod, two
-                # sessions): SPIKE-8 solves beat block-Thomas 567.4 vs
-                # 509.6 steps/s at 23.7k dofs (the Thomas chain is
-                # latency-bound at 186 sequential block rows; 8 slabs
-                # cut the depth to ~24 + a batched reduced system) at
-                # traj err 2.90e-7 vs the exact-Jacobian gate below.
-                "linear_solver": "spike",
-                "spike_partitions": 8,
+                # round-5 product-form factors (V=Sinv@L, W=Sinv@U;
+                # one matvec per serial row instead of two dependent
+                # ones) put plain block-Thomas back on top at 23.7k:
+                # 594.8 vs spike8 589.7 steps/s same-session at
+                # identical traj err 3.48e-7 (probe_spike_prod).  The
+                # pre-product-form SPIKE-8 win (567.4 vs 509.6) came
+                # from shortening the 2-matvec chain; with 1 matvec/row
+                # the partition machinery no longer pays for itself.
+                "linear_solver": "btd",
                 "btd_store_dtype": "bfloat16",
                 # round-4 same-session config sweep (probe_large_config):
                 # refresh-96 + tail-free fixed-3 chord = 480.8 steps/s
@@ -426,7 +427,6 @@ def main():
                 # vs 4.6e-7 against the exact-Jacobian run): the stale
                 # bf16 factors stay good for ~100 steps and the trailing
                 # telemetry-only residual was ~1/4 of the step.
-                # (r128 re-measured WORSE with spike8: 493.9 vs 567.4.)
                 "jacobian_refresh_steps": 96,
                 "fixed_iterations": 3,
                 "fixed_tail_residual": False,
@@ -439,7 +439,9 @@ def main():
             out["large_mesh"] = {
                 "ndof": int(model_l.solid.ndof),
                 "steps_s": round(tps_l, 2),
-                "solver": "banded-assembly + SPIKE-8 direct (bf16 factors)",
+                "solver":
+                    "banded-assembly + block-Thomas direct"
+                    " (product-form bf16 factors)",
             }
             if tpsd_l:
                 out["large_mesh"]["steps_s_device"] = round(tpsd_l, 2)
@@ -459,7 +461,7 @@ def main():
             # exact-Jacobian gate solved with block-Thomas (matches
             # probe_spike_prod's reference leg; solver-independent truth)
             tol_x["linear_solver"] = "btd"
-            tol_x.pop("spike_partitions")
+            tol_x.pop("spike_partitions", None)
             tol_x["jacobian_refresh_steps"] = 1
             _, _, fin_x, _, _, _, _ = run_device(model_l, default, tol_x)
             traj_err = float(

@@ -165,7 +165,8 @@ def main():
         btd16_tol, jacobian_refresh_steps=96, fixed_tail_residual=False
     )
     tps_pr, fin_pr = run(
-        model, prod_tol, args.steps, "btd bf16 r96 tail-free"
+        model, prod_tol, args.steps,
+        "btd bf16 r96 tail-free (production)"
     )
     du = np.abs(np.asarray(fin_pr["u"]) - np.asarray(fin_b16["u"])).max()
     print(f"prod-vs-btd16 trajectory max|du| = {du:.3e};"
@@ -173,15 +174,16 @@ def main():
 
     # SPIKE-partitioned solves: the block-Thomas chain is latency-bound
     # (n_sup sequential block rows); 8 slabs cut the depth to ~n_sup/8
-    # + a batched reduced system.  Round-5 production config (bench.py
-    # large leg): 567.4 vs 509.6 steps/s same-session at 23.7k dofs
+    # + a batched reduced system.  Was the round-5 production config
+    # (567.4 vs 509.6 same-session at 23.7k) until product-form factors
+    # (1 matvec/serial row) put plain btd back on top: 594.8 vs 589.7
     # (probe_spike_prod.py, trajectory-gated vs exact Jacobian)
     spike_tol = dict(
         prod_tol, linear_solver="spike", spike_partitions=8
     )
     tps_sp, fin_sp = run(
         model, spike_tol, args.steps,
-        "spike8 bf16 r96 tail-free (production)"
+        "spike8 bf16 r96 tail-free"
     )
     du = np.abs(np.asarray(fin_sp["u"]) - np.asarray(fin_b16["u"])).max()
     print(f"spike-vs-btd16 trajectory max|du| = {du:.3e};"

@@ -137,10 +137,12 @@ def main():
              "jacobian_refresh_steps": r},
         )
     for od in (o for o in args.offdiag.split(",") if o):
+        od, _, r = od.partition(":")
+        extra = {"jacobian_refresh_steps": int(r)} if r else {}
         leg(
-            f"btd bf16/{od[-6:]}",
+            f"btd bf16/{od[-6:]}" + (f" r{r}" if r else ""),
             {**BASE_TOL, "linear_solver": "btd",
-             "btd_offdiag_dtype": od},
+             "btd_offdiag_dtype": od, **extra},
         )
     for pair in (p for p in args.spike_offdiag.split(",") if p):
         S, od = pair.split(":")
