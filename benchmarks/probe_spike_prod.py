@@ -34,6 +34,8 @@ BASE_TOL = {
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--h", type=float, default=0.006)
+    parser.add_argument("--extrude", type=int, default=0, metavar="NZ",
+                        help="extrude to 3D with NZ z-planes (>=2)")
     parser.add_argument("--lo", type=int, default=100)
     parser.add_argument("--hi", type=int, default=400)
     parser.add_argument(
@@ -66,7 +68,7 @@ def main():
 
     from vf_fem_tpu import forward
 
-    m = build_model(args.h)
+    m = build_model(args.h, nz=args.extrude)
     state0_bv, control, prop = setup_transient_args(m)
     m.set_prop(prop)
     state0 = {
