@@ -59,6 +59,12 @@ def main():
         "--spike-offdiag", type=str, default="",
         help="extra spike legs S:dtype, e.g. 8:float8_e4m3fn",
     )
+    parser.add_argument(
+        "--btd-refresh", type=str, default="",
+        help="extra btd legs at wider refresh windows: comma list of"
+        " window lengths; suffix 'x' adds the extrapolated initial"
+        " guess (correction-memory seed), e.g. 128,160x",
+    )
     args = parser.parse_args()
 
     import jax
@@ -140,12 +146,28 @@ def main():
         )
     for od in (o for o in args.offdiag.split(",") if o):
         od, _, r = od.partition(":")
-        extra = {"jacobian_refresh_steps": int(r)} if r else {}
+        extra = {}
+        if r.endswith("x"):
+            extra["initial_guess"] = "extrapolated"
+            r = r.rstrip("x")
+        if r:
+            extra["jacobian_refresh_steps"] = int(r)
+        tag = f"btd bf16/{od[-6:]}" + (f" r{r}" if r else "")
+        if "initial_guess" in extra:
+            tag += " extrap"
         leg(
-            f"btd bf16/{od[-6:]}" + (f" r{r}" if r else ""),
+            tag,
             {**BASE_TOL, "linear_solver": "btd",
              "btd_offdiag_dtype": od, **extra},
         )
+    for spec in (s for s in args.btd_refresh.split(",") if s):
+        extrap = spec.endswith("x")
+        r = int(spec.rstrip("x"))
+        tol = {**BASE_TOL, "linear_solver": "btd",
+               "jacobian_refresh_steps": r}
+        if extrap:
+            tol["initial_guess"] = "extrapolated"
+        leg(f"btd bf16 r{r}" + (" extrap" if extrap else ""), tol)
     for pair in (p for p in args.spike_offdiag.split(",") if p):
         S, od = pair.split(":")
         leg(
