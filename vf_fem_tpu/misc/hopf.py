@@ -557,8 +557,10 @@ def linear_stability_banded(
         # With the host-f64 rhs + refinement, f32-factor runs certify at
         # the f64 Arnoldi-convergence level (measured: refine=2 max cert
         # 4.6e-7, best 2.4e-9 on the small test pencil; refine=3 gains
-        # nothing -> the floor is Ritz convergence, not the factors), so
-        # the gate matches the f64 default.  Unrefined f32 actions leave
+        # nothing -> the floor is Ritz convergence, not the factors; the
+        # same A/B at 23.7k dofs leaves the returned-mode certs flat at
+        # 4.7e-6/2.7e-6, benchmarks/probe_hopf_refine.py), so the gate
+        # matches the f64 default.  Unrefined f32 actions leave
         # genuine modes near ~5e-4; keep the loose historical gate there.
         if wp == np.float64 or refine >= 2:
             cert_tol = 1e-5
